@@ -1,0 +1,127 @@
+"""Temporal Convolutional Network blocks (the full-band extractor).
+
+Functional re-design of the reference TCNBlock (causal_conv.py:67-117):
+1x1 conv → PReLU → GroupNorm(1 group) → depthwise dilated conv → PReLU →
+GroupNorm → 1x1 conv, with a residual skip. The shipped FullSubNet+ stacks
+8 of these per spectrogram branch with dilations (1,2,5,9,1,2,5,9),
+non-causal, hidden width 512 (sequence_model.py:47-58).
+
+TPU notes: convs use lax.conv_general_dilated with NCW layout; the 1x1 convs
+are plain [C_in → C_out] matmuls over (B·T) and map straight onto the MXU.
+The depthwise conv is VPU work; XLA fuses the PReLU/GroupNorm chains around
+the convs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_plus_tpu.nn.init import conv1d_init
+
+
+def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias=None, *, dilation=1, padding=0, groups=1):
+    """torch.nn.functional.conv1d semantics. x [B, C, T], weight [O, I/g, K]."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias[None, :, None]
+    return out
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """nn.PReLU with a single shared parameter (torch default)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def group_norm1(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-8):
+    """nn.GroupNorm(1, C): normalize over (C, T) per sample. x [B, C, T]."""
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + eps)
+    return x * weight[None, :, None] + bias[None, :, None]
+
+
+def tcn_block_init(
+    key,
+    in_channels: int = 257,
+    hidden_channel: int = 512,
+    out_channels: int = 257,
+    kernel_size: int = 3,
+    dtype=jnp.float32,
+):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1x1": conv1d_init(k1, in_channels, hidden_channel, 1, dtype=dtype),
+        "prelu1": jnp.asarray([0.25], dtype),
+        "norm1": {
+            "weight": jnp.ones((hidden_channel,), dtype),
+            "bias": jnp.zeros((hidden_channel,), dtype),
+        },
+        "depthwise": conv1d_init(
+            k2, hidden_channel, hidden_channel, kernel_size, groups=hidden_channel, dtype=dtype
+        ),
+        "prelu2": jnp.asarray([0.25], dtype),
+        "norm2": {
+            "weight": jnp.ones((hidden_channel,), dtype),
+            "bias": jnp.zeros((hidden_channel,), dtype),
+        },
+        "sconv": conv1d_init(k3, hidden_channel, out_channels, 1, dtype=dtype),
+    }
+
+
+def tcn_block_apply(
+    params,
+    x: jnp.ndarray,
+    *,
+    kernel_size: int = 3,
+    dilation: int = 1,
+    causal: bool = False,
+    use_skip_connection: bool = True,
+) -> jnp.ndarray:
+    """x: [B, C, T] -> [B, C, T]. Matches TCNBlock.forward (causal_conv.py:96-117)."""
+    padding = dilation * (kernel_size - 1) if causal else (dilation * (kernel_size - 1)) // 2
+    hidden = params["depthwise"]["weight"].shape[0]
+    y = conv1d(x, params["conv1x1"]["weight"], params["conv1x1"]["bias"])
+    y = group_norm1(prelu(y, params["prelu1"]), **params["norm1"])
+    y = conv1d(
+        y,
+        params["depthwise"]["weight"],
+        params["depthwise"]["bias"],
+        dilation=dilation,
+        padding=padding,
+        groups=hidden,
+    )
+    if causal and padding:
+        y = y[:, :, :-padding]
+    y = group_norm1(prelu(y, params["prelu2"]), **params["norm2"])
+    out = conv1d(y, params["sconv"]["weight"], params["sconv"]["bias"])
+    return x + out if use_skip_connection else out
+
+
+# The shipped full-band extractor stack: 8 blocks, dilations repeat (1,2,5,9).
+TCN_DILATIONS = (1, 2, 5, 9, 1, 2, 5, 9)
+
+
+def tcn_stack_init(key, channels: int, hidden_channel: int = 512, dtype=jnp.float32):
+    keys = jax.random.split(key, len(TCN_DILATIONS))
+    return {
+        "blocks": [
+            tcn_block_init(k, channels, hidden_channel, channels, dtype=dtype)
+            for k in keys
+        ]
+    }
+
+
+def tcn_stack_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """8 TCN blocks + final ReLU (sequence_model.py:47-58). x: [B, C, T]."""
+    for block, dilation in zip(params["blocks"], TCN_DILATIONS):
+        x = tcn_block_apply(block, x, dilation=dilation)
+    return jax.nn.relu(x)
