@@ -1,0 +1,149 @@
+"""Convert PyTorch reference checkpoints to our parameter pytrees.
+
+The released FullSubNet+ checkpoint (`best_model.tar`, README.md:6,56 of the
+reference) stores a torch `state_dict` with cuDNN-layout LSTM weights
+(`weight_ih_l{k} [4H, D]`, gate order i,f,g,o) and torch conv layouts
+(`[O, I/g, K]`). Our layouts are documented in nn/lstm.py — conversion is
+transposition plus key renaming; no numerics change.
+
+Works on plain numpy arrays so it does not require torch at load time: pass
+either a torch state_dict (tensors are `.numpy()`-ed) or a dict of numpy
+arrays (e.g. loaded from a converted .npz).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def convert_linear(sd, prefix: str):
+    """nn.Linear -> {weight [in, out], bias [out]}."""
+    return {
+        "weight": _np(sd[f"{prefix}.weight"]).T.copy(),
+        "bias": _np(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def convert_conv1d(sd, prefix: str):
+    """nn.Conv1d -> {weight [O, I/g, K], bias [O]} (torch layout kept)."""
+    return {
+        "weight": _np(sd[f"{prefix}.weight"]).copy(),
+        "bias": _np(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def convert_lstm(sd, prefix: str, num_layers: int):
+    """nn.LSTM -> our {"layers": [{w_ih, w_hh, b_ih, b_hh}, ...]}."""
+    layers = []
+    for layer in range(num_layers):
+        layers.append(
+            {
+                "w_ih": _np(sd[f"{prefix}.weight_ih_l{layer}"]).T.copy(),
+                "w_hh": _np(sd[f"{prefix}.weight_hh_l{layer}"]).T.copy(),
+                "b_ih": _np(sd[f"{prefix}.bias_ih_l{layer}"]).copy(),
+                "b_hh": _np(sd[f"{prefix}.bias_hh_l{layer}"]).copy(),
+            }
+        )
+    return {"layers": layers}
+
+
+def convert_gru(sd, prefix: str, num_layers: int):
+    return convert_lstm(sd, prefix, num_layers)  # same tensor names/layout
+
+
+def convert_group_norm(sd, prefix: str):
+    return {
+        "weight": _np(sd[f"{prefix}.weight"]).copy(),
+        "bias": _np(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def convert_tcn_block(sd, prefix: str):
+    """Reference TCNBlock (causal_conv.py:67-94) -> nn/tcn.py param dict."""
+    return {
+        "conv1x1": convert_conv1d(sd, f"{prefix}.conv1x1"),
+        "prelu1": _np(sd[f"{prefix}.prelu1.weight"]).copy(),
+        "norm1": convert_group_norm(sd, f"{prefix}.norm1"),
+        "depthwise": convert_conv1d(sd, f"{prefix}.depthwise_conv"),
+        "prelu2": _np(sd[f"{prefix}.prelu2.weight"]).copy(),
+        "norm2": convert_group_norm(sd, f"{prefix}.norm2"),
+        "sconv": convert_conv1d(sd, f"{prefix}.sconv"),
+    }
+
+
+def convert_sequence_model(sd, prefix: str, sequence_model: str, num_layers: int = 2,
+                           bidirectional: bool = False):
+    """Reference SequenceModel (sequence_model.py:5-96) -> nn/sequence.py tree."""
+    fc = convert_linear(sd, f"{prefix}.fc_output_layer")
+    if sequence_model == "TCN":
+        blocks = [convert_tcn_block(sd, f"{prefix}.sequence_model.{i}") for i in range(8)]
+        return {"seq": {"blocks": blocks}, "fc_output_layer": fc}
+    if sequence_model in ("LSTM", "GRU"):
+        if bidirectional:
+            raise NotImplementedError("bidirectional conversion unused by shipped configs")
+        conv = convert_lstm if sequence_model == "LSTM" else convert_gru
+        return {"seq": conv(sd, f"{prefix}.sequence_model", num_layers), "fc_output_layer": fc}
+    raise NotImplementedError(sequence_model)
+
+
+def convert_tsse(sd, prefix: str):
+    """Reference ChannelTimeSenseSELayer (attention_model.py:43-76)."""
+    return {
+        "small_conv": convert_conv1d(sd, f"{prefix}.smallConv1d.0"),
+        "middle_conv": convert_conv1d(sd, f"{prefix}.middleConv1d.0"),
+        "large_conv": convert_conv1d(sd, f"{prefix}.largeConv1d.0"),
+        "feature_concate_fc": convert_linear(sd, f"{prefix}.feature_concate_fc"),
+        "fc1": convert_linear(sd, f"{prefix}.fc1"),
+        "fc2": convert_linear(sd, f"{prefix}.fc2"),
+    }
+
+
+def convert_se(sd, prefix: str):
+    return {
+        "fc1": convert_linear(sd, f"{prefix}.fc1"),
+        "fc2": convert_linear(sd, f"{prefix}.fc2"),
+    }
+
+
+def convert_channel_attention(sd, prefix: str, model: str):
+    if model == "TSSE":
+        return convert_tsse(sd, prefix)
+    if model in ("SE", "CBAM"):
+        return convert_se(sd, prefix)
+    if model == "ECA":
+        weight = _np(sd[f"{prefix}.conv.weight"]).copy()  # bias=False in reference
+        return {"conv": {"weight": weight}, "k_size": weight.shape[-1]}
+    raise NotImplementedError(model)
+
+
+def convert_fullsubnet_plus(state_dict, sb_sequence_model: str = "LSTM",
+                            channel_attention_model: str = "TSSE"):
+    """Full FullSubNet_Plus state_dict -> models/fullsubnet_plus.py param tree.
+
+    Handles DDP's "module." prefix if present (base_trainer.py wraps in DDP).
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    return {
+        "channel_attention": convert_channel_attention(sd, "channel_attention", channel_attention_model),
+        "channel_attention_real": convert_channel_attention(sd, "channel_attention_real", channel_attention_model),
+        "channel_attention_imag": convert_channel_attention(sd, "channel_attention_imag", channel_attention_model),
+        "fb_model": convert_sequence_model(sd, "fb_model", "TCN"),
+        "fb_model_real": convert_sequence_model(sd, "fb_model_real", "TCN"),
+        "fb_model_imag": convert_sequence_model(sd, "fb_model_imag", "TCN"),
+        "sb_model": convert_sequence_model(sd, "sb_model", sb_sequence_model, num_layers=2),
+    }
+
+
+def convert_fullsubnet(state_dict, sequence_model: str = "LSTM"):
+    """FullSubNet baseline state_dict -> models/fullsubnet.py param tree."""
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    return {
+        "fb_model": convert_sequence_model(sd, "fb_model", sequence_model, num_layers=2),
+        "sb_model": convert_sequence_model(sd, "sb_model", sequence_model, num_layers=2),
+    }

@@ -1,0 +1,162 @@
+"""Channel-attention zoo: MulCA (TSSE) and the SE/ECA/CBAM alternatives.
+
+Functional re-design of the reference attention_model.py. The shipped
+FullSubNet+ uses `ChannelTimeSenseSELayer` ("TSSE", the paper's MulCA):
+three parallel depthwise Conv1d branches with kernel sizes (3, 5, 10) over
+time, global-average-pooled and ReLU'd, fused by a Linear(3→1), then an SE
+bottleneck FC(257→128→257) + sigmoid channel gate
+(attention_model.py:43-98).
+
+TPU notes: the depthwise convs are tiny VPU ops; the SE MLP is two small
+matmuls. Everything here fuses into the surrounding graph — no kernels
+needed. Inputs are [B, C, T] (C = frequency bins acting as channels).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_plus_tpu.nn.init import conv1d_init, linear_init
+from fullsubnet_plus_tpu.nn.tcn import conv1d
+
+
+def _linear(params, x):
+    return x @ params["weight"] + params["bias"]
+
+
+# ---------------------------------------------------------------------------
+# TSSE / MulCA — the shipped config (attention_model.py:43-98)
+# ---------------------------------------------------------------------------
+
+def tsse_init(key, num_channels: int, reduction_ratio: int = 2, kersize=(3, 5, 10),
+              subband_num: int = 1, dtype=jnp.float32):
+    reduced = num_channels // reduction_ratio
+    groups = num_channels // subband_num
+    ks = list(kersize)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    return {
+        "small_conv": conv1d_init(k1, num_channels, num_channels, ks[0], groups=groups, dtype=dtype),
+        "middle_conv": conv1d_init(k2, num_channels, num_channels, ks[1], groups=groups, dtype=dtype),
+        "large_conv": conv1d_init(k3, num_channels, num_channels, ks[2], groups=groups, dtype=dtype),
+        "feature_concate_fc": linear_init(k4, 3, 1, dtype=dtype),
+        "fc1": linear_init(k5, num_channels, reduced, dtype=dtype),
+        "fc2": linear_init(k6, reduced, num_channels, dtype=dtype),
+    }
+
+
+def tsse_apply(params, x: jnp.ndarray, kersize=(3, 5, 10), subband_num: int = 1) -> jnp.ndarray:
+    """x: [B, C, T] -> gated [B, C, T]."""
+    num_channels = x.shape[1]
+    groups = num_channels // subband_num
+
+    def branch(conv_params, k):
+        # valid depthwise conv -> [B, C, T-k+1], mean over time, ReLU
+        y = conv1d(x, conv_params["weight"], conv_params["bias"], groups=groups)
+        return jax.nn.relu(jnp.mean(y, axis=-1))  # [B, C]
+
+    feats = jnp.stack(
+        [
+            branch(params["small_conv"], kersize[0]),
+            branch(params["middle_conv"], kersize[1]),
+            branch(params["large_conv"], kersize[2]),
+        ],
+        axis=-1,
+    )  # [B, C, 3]
+    squeeze = _linear(params["feature_concate_fc"], feats)[..., 0]  # [B, C]
+    gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Plain SE (attention_model.py:6-40)
+# ---------------------------------------------------------------------------
+
+def se_init(key, num_channels: int, reduction_ratio: int = 2, dtype=jnp.float32):
+    reduced = num_channels // reduction_ratio
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, num_channels, reduced, dtype=dtype),
+        "fc2": linear_init(k2, reduced, num_channels, dtype=dtype),
+    }
+
+
+def se_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    squeeze = jnp.mean(x, axis=2)  # [B, C]
+    gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# ECA (attention_model.py:344-361): conv1d(1,1,k=3,bias=False) over the
+# channel axis of the pooled descriptor.
+# ---------------------------------------------------------------------------
+
+def eca_init(key, channel: int, k_size: int = 3, dtype=jnp.float32):
+    conv = conv1d_init(key, 1, 1, k_size, dtype=dtype)
+    return {"conv": {"weight": conv["weight"]}, "k_size": k_size}
+
+
+def eca_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    k_size = params["k_size"]
+    squeeze = jnp.mean(x, axis=2)[:, None, :]  # [B, 1, C]
+    pad = (k_size - 1) // 2
+    y = conv1d(squeeze, params["conv"]["weight"], None, padding=pad)
+    gate = jax.nn.sigmoid(y[:, 0, :])  # [B, C]
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# CBAM channel attention (attention_model.py:296-332)
+# ---------------------------------------------------------------------------
+
+def cbam_init(key, num_channels: int, reduction_ratio: int = 2, dtype=jnp.float32):
+    reduced = num_channels // reduction_ratio
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, num_channels, reduced, dtype=dtype),
+        "fc2": linear_init(k2, reduced, num_channels, dtype=dtype),
+    }
+
+
+def cbam_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    avg_pool = jnp.mean(x, axis=2)
+    max_pool = jnp.max(x, axis=2)
+    # shared fc1, branch ReLUs summed BEFORE fc2 (attention_model.py:325-329)
+    hidden = jax.nn.relu(_linear(params["fc1"], avg_pool)) + jax.nn.relu(
+        _linear(params["fc1"], max_pool)
+    )
+    gate = jax.nn.sigmoid(_linear(params["fc2"], hidden))
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Registry keyed the way FullSubNet_Plus selects them (fullsubnet_plus.py:52-70)
+# ---------------------------------------------------------------------------
+
+def channel_attention_init(key, model: str, num_channels: int, kersize=(3, 5, 10),
+                           subband_num: int = 1, dtype=jnp.float32):
+    if model == "TSSE":
+        return tsse_init(key, num_channels, kersize=kersize, subband_num=subband_num, dtype=dtype)
+    if model == "SE":
+        return se_init(key, num_channels, dtype=dtype)
+    if model == "ECA":
+        return eca_init(key, num_channels, dtype=dtype)
+    if model == "CBAM":
+        return cbam_init(key, num_channels, dtype=dtype)
+    raise NotImplementedError(f"Not implemented channel attention model {model}")
+
+
+def channel_attention_apply(params, model: str, x: jnp.ndarray, kersize=(3, 5, 10),
+                            subband_num: int = 1) -> jnp.ndarray:
+    if model == "TSSE":
+        return tsse_apply(params, x, kersize=kersize, subband_num=subband_num)
+    if model == "SE":
+        return se_apply(params, x)
+    if model == "ECA":
+        return eca_apply(params, x)
+    if model == "CBAM":
+        return cbam_apply(params, x)
+    raise NotImplementedError(f"Not implemented channel attention model {model}")

@@ -1,0 +1,97 @@
+"""SequenceModel: configurable LSTM / GRU / TCN backbone + output projection.
+
+Functional equivalent of the reference SequenceModel
+(audio_zen/model/module/sequence_model.py:5-123): a recurrent (LSTM/GRU,
+batch_first, optionally bidirectional) or TCN stack over [B, F, T], followed
+by a Linear output layer and an optional Tanh/ReLU/ReLU6 activation.
+
+Faithfully reproduces the reference quirk that the TCN path ignores
+`hidden_size`/`num_layers` (TCNBlock default hidden=512, dilations
+(1,2,5,9)x2 — SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_plus_tpu.nn.init import linear_init
+from fullsubnet_plus_tpu.nn.lstm import (
+    lstm_init,
+    lstm_apply,
+    bilstm_apply,
+    gru_init,
+    gru_apply,
+)
+from fullsubnet_plus_tpu.nn.tcn import tcn_stack_init, tcn_stack_apply
+
+_ACTIVATIONS = {
+    "Tanh": jnp.tanh,
+    "ReLU": jax.nn.relu,
+    "ReLU6": lambda x: jnp.clip(x, 0.0, 6.0),
+}
+
+
+def sequence_model_init(
+    key,
+    input_size: int,
+    output_size: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool,
+    sequence_model: str = "GRU",
+    dtype=jnp.float32,
+):
+    k_seq, k_fc = jax.random.split(key)
+    if sequence_model == "LSTM":
+        if bidirectional:
+            k_f, k_b = jax.random.split(k_seq)
+            seq = {
+                "fwd": lstm_init(k_f, input_size, hidden_size, num_layers, dtype),
+                "bwd": lstm_init(k_b, input_size, hidden_size, num_layers, dtype),
+            }
+            fc_in = hidden_size * 2
+        else:
+            seq = lstm_init(k_seq, input_size, hidden_size, num_layers, dtype)
+            fc_in = hidden_size
+    elif sequence_model == "GRU":
+        assert not bidirectional, "bidirectional GRU not wired (unused by configs)"
+        seq = gru_init(k_seq, input_size, hidden_size, num_layers, dtype)
+        fc_in = hidden_size
+    elif sequence_model == "TCN":
+        # hidden_size/num_layers intentionally unused (reference behavior).
+        seq = tcn_stack_init(k_seq, input_size, hidden_channel=512, dtype=dtype)
+        fc_in = input_size
+    else:
+        raise NotImplementedError(f"Not implemented {sequence_model}")
+    return {"seq": seq, "fc_output_layer": linear_init(k_fc, fc_in, output_size, dtype)}
+
+
+def sequence_model_apply(
+    params,
+    x: jnp.ndarray,
+    *,
+    sequence_model: str,
+    bidirectional: bool = False,
+    output_activate_function: str | bool | None = None,
+) -> jnp.ndarray:
+    """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123)."""
+    assert x.ndim == 3
+    if sequence_model == "TCN":
+        y = tcn_stack_apply(params["seq"], x)  # [B, F, T]
+        o = jnp.swapaxes(y, 1, 2) @ params["fc_output_layer"]["weight"] + params[
+            "fc_output_layer"
+        ]["bias"]  # [B, T, O]
+    else:
+        xt = jnp.swapaxes(x, 1, 2)  # [B, T, F]
+        if sequence_model == "LSTM":
+            if bidirectional:
+                o = bilstm_apply(params["seq"]["fwd"], params["seq"]["bwd"], xt)
+            else:
+                o, _ = lstm_apply(params["seq"], xt)
+        else:
+            o, _ = gru_apply(params["seq"], xt)
+        o = o @ params["fc_output_layer"]["weight"] + params["fc_output_layer"]["bias"]
+    if output_activate_function:
+        o = _ACTIVATIONS[output_activate_function](o)
+    return jnp.swapaxes(o, 1, 2)  # [B, O, T]

@@ -1,0 +1,159 @@
+"""Module-level parity vs torch: LSTM/GRU, TCN block, MulCA attention,
+GroupNorm/PReLU, SequenceModel — golden activations from torch modules with
+weights converted through io/torch_convert (SURVEY.md §4 test pyramid #2).
+"""
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+from fullsubnet_plus_tpu.io import torch_convert as tc
+from fullsubnet_plus_tpu.nn import lstm as jlstm
+from fullsubnet_plus_tpu.nn import tcn as jtcn
+from fullsubnet_plus_tpu.nn import attention as jatt
+from fullsubnet_plus_tpu.nn import sequence as jseq
+
+torch.manual_seed(0)
+
+
+def test_lstm_matches_torch(rng):
+    m = nn.LSTM(input_size=34, hidden_size=48, num_layers=2, batch_first=True)
+    x = rng.standard_normal((6, 20, 34)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = m(torch.from_numpy(x))
+    sd = {f"x.{k}": v for k, v in m.state_dict().items()}
+    params = tc.convert_lstm(sd, "x", 2)
+    ours, _ = jlstm.lstm_apply(params, x)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_gru_matches_torch(rng):
+    m = nn.GRU(input_size=20, hidden_size=32, num_layers=2, batch_first=True)
+    x = rng.standard_normal((4, 15, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = m(torch.from_numpy(x))
+    sd = {f"x.{k}": v for k, v in m.state_dict().items()}
+    params = tc.convert_gru(sd, "x", 2)
+    ours, _ = jlstm.gru_apply(params, x)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+class TorchTCNBlock(nn.Module):
+    """Reference TCNBlock re-created from its published equation
+    (causal_conv.py:67-117) for golden-activation comparison."""
+
+    def __init__(self, in_channels=64, hidden_channel=96, kernel_size=3, dilation=2):
+        super().__init__()
+        self.conv1x1 = nn.Conv1d(in_channels, hidden_channel, 1)
+        self.prelu1 = nn.PReLU()
+        self.norm1 = nn.GroupNorm(1, hidden_channel, eps=1e-8)
+        padding = (dilation * (kernel_size - 1)) // 2
+        self.depthwise_conv = nn.Conv1d(
+            hidden_channel, hidden_channel, kernel_size, groups=hidden_channel,
+            padding=padding, dilation=dilation,
+        )
+        self.prelu2 = nn.PReLU()
+        self.norm2 = nn.GroupNorm(1, hidden_channel, eps=1e-8)
+        self.sconv = nn.Conv1d(hidden_channel, in_channels, 1)
+
+    def forward(self, x):
+        y = self.conv1x1(x)
+        y = self.norm1(self.prelu1(y))
+        y = self.depthwise_conv(y)
+        y = self.norm2(self.prelu2(y))
+        return x + self.sconv(y)
+
+
+def test_tcn_block_matches_torch(rng):
+    m = TorchTCNBlock()
+    x = rng.standard_normal((2, 64, 30)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    sd = {f"b.{k}".replace("b.depthwise_conv", "b.depthwise_conv"): v for k, v in m.state_dict().items()}
+    params = tc.convert_tcn_block(sd, "b")
+    ours = np.asarray(jtcn.tcn_block_apply(params, x, dilation=2))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+class TorchTSSE(nn.Module):
+    """ChannelTimeSenseSELayer re-created (attention_model.py:43-98)."""
+
+    def __init__(self, num_channels=64, reduction_ratio=2, kersize=(3, 5, 10)):
+        super().__init__()
+        reduced = num_channels // reduction_ratio
+        mk = lambda k: nn.Sequential(
+            nn.Conv1d(num_channels, num_channels, kernel_size=k, groups=num_channels),
+            nn.AdaptiveAvgPool1d(1),
+            nn.ReLU(inplace=True),
+        )
+        self.smallConv1d = mk(kersize[0])
+        self.middleConv1d = mk(kersize[1])
+        self.largeConv1d = mk(kersize[2])
+        self.feature_concate_fc = nn.Linear(3, 1, bias=True)
+        self.fc1 = nn.Linear(num_channels, reduced, bias=True)
+        self.fc2 = nn.Linear(reduced, num_channels, bias=True)
+
+    def forward(self, x):
+        feats = torch.cat(
+            [self.smallConv1d(x), self.middleConv1d(x), self.largeConv1d(x)], dim=2
+        )
+        squeeze = self.feature_concate_fc(feats)[..., 0]
+        gate = torch.sigmoid(self.fc2(torch.relu(self.fc1(squeeze))))
+        return x * gate[:, :, None]
+
+
+def test_tsse_matches_torch(rng):
+    m = TorchTSSE()
+    x = rng.standard_normal((3, 64, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    sd = {f"a.{k}": v for k, v in m.state_dict().items()}
+    params = tc.convert_tsse(sd, "a")
+    ours = np.asarray(jatt.tsse_apply(params, x))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_se_eca_cbam_run(rng):
+    import jax
+
+    x = rng.standard_normal((2, 32, 20)).astype(np.float32)
+    for model in ("SE", "ECA", "CBAM"):
+        params = jatt.channel_attention_init(jax.random.PRNGKey(0), model, 32)
+        out = np.asarray(jatt.channel_attention_apply(params, model, x))
+        assert out.shape == x.shape
+        assert np.isfinite(out).all()
+
+
+def test_sequence_model_lstm_matches_torch(rng):
+    """Full SequenceModel: LSTM + Linear + no activation (sb_model config)."""
+    lstm = nn.LSTM(input_size=34, hidden_size=48, num_layers=2, batch_first=True)
+    fc = nn.Linear(48, 2)
+    x = rng.standard_normal((5, 34, 25)).astype(np.float32)
+    with torch.no_grad():
+        o, _ = lstm(torch.from_numpy(x).permute(0, 2, 1))
+        ref = fc(o).permute(0, 2, 1).numpy()
+    sd = {f"m.sequence_model.{k}": v for k, v in lstm.state_dict().items()}
+    sd.update({f"m.fc_output_layer.{k}": v for k, v in fc.state_dict().items()})
+    params = tc.convert_sequence_model(sd, "m", "LSTM", num_layers=2)
+    ours = np.asarray(
+        jseq.sequence_model_apply(
+            params, x, sequence_model="LSTM", output_activate_function=False
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_sequence_model_tcn_shape(rng):
+    import jax
+
+    params = jseq.sequence_model_init(
+        jax.random.PRNGKey(0), 64, 64, 512, 2, False, "TCN"
+    )
+    x = rng.standard_normal((2, 64, 30)).astype(np.float32)
+    out = np.asarray(
+        jseq.sequence_model_apply(
+            params, x, sequence_model="TCN", output_activate_function="ReLU"
+        )
+    )
+    assert out.shape == (2, 64, 30)
+    assert (out >= 0).all()
