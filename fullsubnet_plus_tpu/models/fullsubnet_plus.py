@@ -1,0 +1,227 @@
+"""FullSubNet+ — the flagship model as a pure (init, apply) pair.
+
+Architecture (reference fullsubnet_plus/model/fullsubnet_plus.py:16-209):
+three spectrogram views (magnitude, real, imag), each gated by a MulCA
+channel-attention block and passed through an 8-block TCN full-band extractor
+over all 257 bins; the three full-band outputs plus the attended magnitude are
+unfolded into per-frequency sub-band windows (15 neighbors/side), stacked as a
+(B·F)-folded batch of 34-feature sequences into a 2-layer LSTM(384) that
+predicts the compressed cIRM [B, 2, F, T].
+
+Note the reference hard-codes the three full-band branches to TCN regardless
+of the config's `sequence_model` (fullsubnet_plus.py:78,88,98 — SURVEY.md
+§2.6 ⚠); `sequence_model` applies to the sub-band model only. We reproduce
+that so the released checkpoint loads.
+
+TPU-first notes:
+  * The (B·F, T, 34) fold is the hot op — see nn/lstm.py for how the input
+    projection is hoisted to one MXU matmul; ops/ will swap in a fused Pallas
+    stacked cell.
+  * `drop_band` at train time and the folded reshape both stay fully static;
+    under pjit the fold's leading dim shards over the data/freq mesh axes
+    (parallel/).
+  * look-ahead: inputs are right-padded by 2 frames, output sliced by 2 —
+    giving the model 2 future frames of context (fullsubnet_plus.py:137-139,
+    208).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_plus_tpu.dsp.norms import get_norm
+from fullsubnet_plus_tpu.dsp.unfold import freq_unfold, drop_band
+from fullsubnet_plus_tpu.nn.attention import (
+    channel_attention_init,
+    channel_attention_apply,
+)
+from fullsubnet_plus_tpu.nn.sequence import sequence_model_init, sequence_model_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class FullSubNetPlusConfig:
+    """Static hyperparameters (config/train.toml:73-91 defaults)."""
+
+    num_freqs: int = 257
+    look_ahead: int = 2
+    sequence_model: str = "LSTM"  # sub-band model only; fb branches are TCN
+    fb_num_neighbors: int = 0
+    sb_num_neighbors: int = 15
+    fb_output_activate_function: str | bool = "ReLU"
+    sb_output_activate_function: str | bool = False
+    fb_model_hidden_size: int = 512
+    sb_model_hidden_size: int = 384
+    channel_attention_model: str = "TSSE"
+    norm_type: str = "offline_laplace_norm"
+    num_groups_in_drop_band: int = 2
+    output_size: int = 2
+    subband_num: int = 1
+    kersize: tuple = (3, 5, 10)
+
+    @property
+    def num_channels(self) -> int:
+        if self.subband_num == 1:
+            return self.num_freqs
+        return self.num_freqs // self.subband_num + 1
+
+    @property
+    def sb_input_size(self) -> int:
+        return (self.sb_num_neighbors * 2 + 1) + 3 * (self.fb_num_neighbors * 2 + 1)
+
+
+def init(key, config: FullSubNetPlusConfig = FullSubNetPlusConfig(), dtype=jnp.float32):
+    """Build the parameter pytree."""
+    assert config.sequence_model in ("GRU", "LSTM", "TCN")
+    keys = jax.random.split(key, 7)
+    ca = lambda k: channel_attention_init(
+        k,
+        config.channel_attention_model,
+        config.num_channels,
+        kersize=config.kersize,
+        subband_num=config.subband_num,
+        dtype=dtype,
+    )
+    fb = lambda k: sequence_model_init(
+        k,
+        input_size=config.num_freqs,
+        output_size=config.num_freqs,
+        hidden_size=config.fb_model_hidden_size,
+        num_layers=2,
+        bidirectional=False,
+        sequence_model="TCN",  # hard-coded in the reference
+        dtype=dtype,
+    )
+    return {
+        "channel_attention": ca(keys[0]),
+        "channel_attention_real": ca(keys[1]),
+        "channel_attention_imag": ca(keys[2]),
+        "fb_model": fb(keys[3]),
+        "fb_model_real": fb(keys[4]),
+        "fb_model_imag": fb(keys[5]),
+        "sb_model": sequence_model_init(
+            keys[6],
+            input_size=config.sb_input_size,
+            output_size=config.output_size,
+            hidden_size=config.sb_model_hidden_size,
+            num_layers=2,
+            bidirectional=False,
+            sequence_model=config.sequence_model,
+            dtype=dtype,
+        ),
+    }
+
+
+def apply(
+    params,
+    noisy_mag: jnp.ndarray,
+    noisy_real: jnp.ndarray,
+    noisy_imag: jnp.ndarray,
+    config: FullSubNetPlusConfig = FullSubNetPlusConfig(),
+    *,
+    training: bool = False,
+) -> jnp.ndarray:
+    """[B, 1, F, T] x3 -> compressed cIRM [B, 2, F(, /groups if training), T].
+
+    `training=True` applies drop_band (reference gates on batch_size > 1,
+    fullsubnet_plus.py:192-196; we make it explicit so jit traces are stable).
+    """
+    assert noisy_mag.ndim == 4, f"expected [B, 1, F, T], got {noisy_mag.shape}"
+    norm = get_norm(config.norm_type)
+    look_ahead = config.look_ahead
+    pad_cfg = [(0, 0)] * 3 + [(0, look_ahead)]
+    noisy_mag = jnp.pad(noisy_mag, pad_cfg)
+    noisy_real = jnp.pad(noisy_real, pad_cfg)
+    noisy_imag = jnp.pad(noisy_imag, pad_cfg)
+    batch_size, num_channels, num_freqs, num_frames = noisy_mag.shape
+    assert num_channels == 1, "FullSubNet+ takes single-channel spectrogram views"
+
+    ca_model = config.channel_attention_model
+
+    def branch(ca_params, fb_params, x):
+        fb_in = norm(x).reshape(batch_size, num_freqs, num_frames)
+        fb_in = channel_attention_apply(
+            ca_params, ca_model, fb_in, kersize=config.kersize, subband_num=config.subband_num
+        )
+        fb_out = sequence_model_apply(
+            fb_params,
+            fb_in,
+            sequence_model="TCN",
+            output_activate_function=config.fb_output_activate_function,
+        )
+        return fb_in, fb_out.reshape(batch_size, 1, num_freqs, num_frames)
+
+    if config.subband_num == 1:
+        fb_input, fb_output = branch(
+            params["channel_attention"], params["fb_model"], noisy_mag
+        )
+    else:
+        # Sub-band channel grouping for the mag branch only
+        # (fullsubnet_plus.py:146-153): reflect-pad freq to a multiple of
+        # subband_num, fold subband_num freqs into the time axis for the
+        # attention, then unfold back.
+        pad_num = config.subband_num - num_freqs % config.subband_num
+        normed = norm(noisy_mag)
+        padded = jnp.pad(
+            normed, [(0, 0), (0, 0), (0, pad_num), (0, 0)], mode="reflect"
+        )
+        grouped = padded.reshape(
+            batch_size,
+            (num_freqs + pad_num) // config.subband_num,
+            num_frames * config.subband_num,
+        )
+        grouped = channel_attention_apply(
+            params["channel_attention"], ca_model, grouped,
+            kersize=config.kersize, subband_num=config.subband_num,
+        )
+        fb_input = grouped.reshape(batch_size, num_freqs + pad_num, num_frames)[
+            :, :num_freqs, :
+        ]
+        fb_out = sequence_model_apply(
+            params["fb_model"],
+            fb_input,
+            sequence_model="TCN",
+            output_activate_function=config.fb_output_activate_function,
+        )
+        fb_output = fb_out.reshape(batch_size, 1, num_freqs, num_frames)
+    _, fbr_output = branch(params["channel_attention_real"], params["fb_model_real"], noisy_real)
+    _, fbi_output = branch(params["channel_attention_imag"], params["fb_model_imag"], noisy_imag)
+
+    fb_w = config.fb_num_neighbors * 2 + 1
+    sb_w = config.sb_num_neighbors * 2 + 1
+    unfold_fb = lambda y: freq_unfold(y, config.fb_num_neighbors).reshape(
+        batch_size, num_freqs, fb_w, num_frames
+    )
+    fb_unf = unfold_fb(fb_output)
+    fbr_unf = unfold_fb(fbr_output)
+    fbi_unf = unfold_fb(fbi_output)
+    mag_unf = freq_unfold(
+        fb_input.reshape(batch_size, 1, num_freqs, num_frames), config.sb_num_neighbors
+    ).reshape(batch_size, num_freqs, sb_w, num_frames)
+
+    sb_input = jnp.concatenate([mag_unf, fb_unf, fbr_unf, fbi_unf], axis=2)
+    sb_input = norm(sb_input)  # [B, F, 34, T]
+
+    if training:
+        sb_input = drop_band(
+            jnp.transpose(sb_input, (0, 2, 1, 3)), config.num_groups_in_drop_band
+        )
+        sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
+    num_freqs_out = sb_input.shape[1]
+
+    sb_input = sb_input.reshape(
+        batch_size * num_freqs_out, config.sb_input_size, num_frames
+    )
+    sb_mask = sequence_model_apply(
+        params["sb_model"],
+        sb_input,
+        sequence_model=config.sequence_model,
+        output_activate_function=config.sb_output_activate_function,
+    )  # [B*F, 2, T]
+    sb_mask = jnp.transpose(
+        sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),
+        (0, 2, 1, 3),
+    )
+    return sb_mask[:, :, :, look_ahead:]

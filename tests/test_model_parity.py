@@ -1,0 +1,138 @@
+"""End-to-end forward parity: our JAX models vs the actual PyTorch reference.
+
+The reference code at /root/reference is executed read-only (librosa is
+stubbed — it is only imported for wav loading, which these tests never touch).
+Weights are initialized by torch, converted via io/torch_convert, and the two
+forward passes must agree to float tolerance. This is SURVEY.md §4's pyramid
+level 3 without needing the released checkpoint binary.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+REFERENCE = "/root/reference/speech_enhance"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    # Stub librosa (imported by audio_zen.acoustics.feature for wav IO only).
+    if "librosa" not in sys.modules:
+        librosa = types.ModuleType("librosa")
+        librosa.load = None
+        sys.modules["librosa"] = librosa
+    # Both forms are used inside the reference: `audio_zen.*` and
+    # `speech_enhance.audio_zen.*`, so add both roots.
+    for p in (REFERENCE, "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
+    from fullsubnet.model.fullsubnet import Model as FullSubNet
+
+    return FullSubNet_Plus, FullSubNet
+
+
+SHARED_ARGS = dict(
+    num_freqs=257,
+    look_ahead=2,
+    sequence_model="LSTM",
+    fb_num_neighbors=0,
+    sb_num_neighbors=15,
+    fb_output_activate_function="ReLU",
+    sb_output_activate_function=False,
+    fb_model_hidden_size=512,
+    sb_model_hidden_size=384,
+    norm_type="offline_laplace_norm",
+    num_groups_in_drop_band=2,
+    weight_init=False,
+)
+
+
+def test_fullsubnet_plus_forward_parity(ref_modules, rng):
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+
+    FullSubNet_Plus, _ = ref_modules
+    torch.manual_seed(1)
+    ref = FullSubNet_Plus(
+        channel_attention_model="TSSE",
+        kersize=[3, 5, 10],
+        subband_num=1,
+        **SHARED_ARGS,
+    ).eval()
+
+    T = 40
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    real = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    imag = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(mag), torch.from_numpy(real), torch.from_numpy(imag)
+        ).numpy()
+
+    params = convert_fullsubnet_plus(ref.state_dict())
+    config = jmodel.FullSubNetPlusConfig()
+    ours = np.asarray(jmodel.apply(params, mag, real, imag, config, training=False))
+
+    assert ours.shape == ref_out.shape == (1, 2, 257, T)
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_fullsubnet_plus_training_dropband_parity(ref_modules, rng):
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+
+    FullSubNet_Plus, _ = ref_modules
+    torch.manual_seed(2)
+    ref = FullSubNet_Plus(
+        channel_attention_model="TSSE", kersize=[3, 5, 10], subband_num=1, **SHARED_ARGS
+    ).eval()
+
+    B, T = 4, 20
+    mag = np.abs(rng.standard_normal((B, 1, 257, T))).astype(np.float32)
+    real = rng.standard_normal((B, 1, 257, T)).astype(np.float32)
+    imag = rng.standard_normal((B, 1, 257, T)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(mag), torch.from_numpy(real), torch.from_numpy(imag)
+        ).numpy()  # batch>1 -> reference applies drop_band
+    params = convert_fullsubnet_plus(ref.state_dict())
+    ours = np.asarray(
+        jmodel.apply(params, mag, real, imag, jmodel.FullSubNetPlusConfig(), training=True)
+    )
+    assert ours.shape == ref_out.shape == (B, 2, 128, T)
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_fullsubnet_forward_parity(ref_modules, rng):
+    from fullsubnet_plus_tpu.models import fullsubnet as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet
+
+    _, FullSubNet = ref_modules
+    torch.manual_seed(3)
+    ref = FullSubNet(**SHARED_ARGS).eval()
+
+    T = 30
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(mag)).numpy()
+    params = convert_fullsubnet(ref.state_dict())
+    ours = np.asarray(
+        jmodel.apply(params, mag, jmodel.FullSubNetConfig(), training=False)
+    )
+    assert ours.shape == ref_out.shape == (1, 2, 257, T)
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_param_count_matches_paper(ref_modules):
+    """8.67 M params for the shipped FullSubNet+ (SURVEY.md §2.6)."""
+    import jax
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+
+    params = jmodel.init(jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert 8.5e6 < n < 8.9e6, f"param count {n}"
