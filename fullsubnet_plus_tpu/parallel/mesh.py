@@ -1,0 +1,64 @@
+"""Mesh construction and sharding helpers.
+
+The distributed design (SURVEY.md §2.5 / §5): the reference's entire
+distributed surface is single-host DDP over gloo; the TPU-native replacement
+is a `jax.sharding.Mesh` with two logical axes:
+
+  * ``data``  — batch data parallelism. The jitted train step shards the
+    [B, L] waveform batch over it; XLA inserts the gradient all-reduce over
+    ICI automatically (this replaces DistributedDataParallel).
+  * ``freq``  — frequency parallelism for batched offline enhancement and
+    for sharding the folded (B·F) sub-band LSTM batch when it exceeds one
+    chip's HBM (a capability the reference does not have; its only analogue
+    is the drop_band compute trick).
+
+Multi-host bootstrap is `jax.distributed.initialize` + per-host data
+pipelines (data/loader.py hands each host its own shard of the clean list,
+replacing DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bootstrap. No-op for single-process runs."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(data: int | None = None, freq: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'freq') mesh over the given (default: all) devices.
+
+    ``data=None`` uses every remaining device on the data axis. Device order
+    follows jax.devices(), which orders ICI-contiguous chips adjacently, so
+    the data-parallel all-reduce rides ICI.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % freq == 0, f"{n} devices not divisible by freq={freq}"
+        data = n // freq
+    assert data * freq <= n, f"mesh {data}x{freq} needs {data * freq} > {n} devices"
+    grid = np.asarray(devices[: data * freq]).reshape(data, freq)
+    return Mesh(grid, ("data", "freq"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def freq_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
+    """Shard dimension `axis` over 'freq', replicate the rest."""
+    spec = [None] * ndim
+    spec[axis] = "freq"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

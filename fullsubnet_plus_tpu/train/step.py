@@ -1,0 +1,187 @@
+"""Jitted training / evaluation steps (the reference trainer's hot loop).
+
+Reproduces Trainer_Finetune's per-step math (fullsubnet_plus/trainer/
+trainer.py:322-351): STFT both waveforms on device, build + compress the
+cIRM target, drop_band the target, model forward (training=True applies the
+matching drop_band inside), MSE, global-norm-10 gradient clip, Adam update.
+
+TPU-first details:
+  * The whole step — STFT included — is one jitted program; there is no
+    host↔device traffic besides the input waveform batch.
+  * Under a mesh, the batch shards over the 'data' axis and XLA inserts the
+    gradient all-reduce over ICI (replacing DDP/gloo).
+  * `donate` on the train state buffers so params/opt state update in place.
+  * `compute_dtype=bfloat16` casts params + activations for the forward/
+    backward while keeping fp32 master weights and fp32 Adam moments.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fullsubnet_plus_tpu.dsp.stft import stft_split
+from fullsubnet_plus_tpu.dsp.mask import build_complex_ideal_ratio_mask
+from fullsubnet_plus_tpu.dsp.unfold import drop_band
+from fullsubnet_plus_tpu.parallel.mesh import data_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-3, beta1: float = 0.9, beta2: float = 0.999,
+                   clip_grad_norm: float = 10.0):
+    """Adam + global-norm clip (config/train.toml:22-25, trainer.train:96)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_grad_norm),
+        optax.adam(lr, b1=beta1, b2=beta2),
+    )
+
+
+def init_train_state(params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def _forward_fullsubnet_plus(model_def, config, params, noisy_mag, noisy_real,
+                             noisy_imag, training):
+    return model_def.apply(
+        params,
+        noisy_mag[:, None],
+        noisy_real[:, None],
+        noisy_imag[:, None],
+        config,
+        training=training,
+    )
+
+
+def _forward_fullsubnet(model_def, config, params, noisy_mag, noisy_real,
+                        noisy_imag, training):
+    del noisy_real, noisy_imag
+    return model_def.apply(params, noisy_mag[:, None], config, training=training)
+
+
+def _model_forward(model_def):
+    return (
+        _forward_fullsubnet_plus if model_def.n_inputs == 3 else _forward_fullsubnet
+    )
+
+
+def make_train_step(
+    model_def,
+    config,
+    optimizer,
+    loss_fn,
+    *,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    compute_dtype=jnp.float32,
+    mesh=None,
+):
+    """Build the jitted (state, noisy, clean) -> (state, metrics) step."""
+    forward = _model_forward(model_def)
+    num_groups = config.num_groups_in_drop_band
+
+    def loss_and_grads_input(params, noisy, clean):
+        noisy_mag, noisy_real, noisy_imag = stft_split(
+            noisy, n_fft, hop_length, win_length
+        )
+        clean_mag, clean_real, clean_imag = stft_split(
+            clean, n_fft, hop_length, win_length
+        )
+        del clean_mag
+        ground_truth_cirm = build_complex_ideal_ratio_mask(
+            noisy_real, noisy_imag, clean_real, clean_imag
+        )  # [B, F, T, 2]
+        ground_truth_cirm = jnp.transpose(
+            drop_band(
+                jnp.transpose(ground_truth_cirm, (0, 3, 1, 2)), num_groups
+            ),
+            (0, 2, 3, 1),
+        )
+
+        if compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+            noisy_mag = noisy_mag.astype(compute_dtype)
+            noisy_real = noisy_real.astype(compute_dtype)
+            noisy_imag = noisy_imag.astype(compute_dtype)
+        crm = forward(
+            model_def, config, params, noisy_mag, noisy_real, noisy_imag, True
+        )
+        crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
+        return loss_fn(ground_truth_cirm, crm)
+
+    def train_step(state: TrainState, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_and_grads_input)(
+            state.params, noisy, clean
+        )
+        grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    # Batch shards over 'data'; the state keeps its placement (the caller
+    # device_puts it replicated via parallel.replicated(mesh)).
+    batch_sharding = data_sharding(mesh, ndim=2)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(None, batch_sharding, batch_sharding),
+    )
+
+
+def make_eval_step(
+    model_def,
+    config,
+    loss_fn,
+    *,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+):
+    """Validation: loss without drop_band + enhanced waveform (trainer.py:364-427)."""
+    from fullsubnet_plus_tpu.dsp.mask import decompress_cirm
+    from fullsubnet_plus_tpu.dsp.stft import istft
+
+    forward = _model_forward(model_def)
+
+    @jax.jit
+    def eval_step(params, noisy, clean):
+        noisy_mag, noisy_real, noisy_imag = stft_split(
+            noisy, n_fft, hop_length, win_length
+        )
+        _, clean_real, clean_imag = stft_split(clean, n_fft, hop_length, win_length)
+        cirm = build_complex_ideal_ratio_mask(
+            noisy_real, noisy_imag, clean_real, clean_imag
+        )
+        crm = forward(
+            model_def, config, params, noisy_mag, noisy_real, noisy_imag, False
+        )
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        loss = loss_fn(cirm, crm)
+        crm_d = decompress_cirm(crm)
+        enhanced_real = crm_d[..., 0] * noisy_real - crm_d[..., 1] * noisy_imag
+        enhanced_imag = crm_d[..., 1] * noisy_real + crm_d[..., 0] * noisy_imag
+        enhanced = istft(
+            (enhanced_real, enhanced_imag),
+            n_fft,
+            hop_length,
+            win_length,
+            length=noisy.shape[-1],
+        )
+        return loss, enhanced
+
+    return eval_step
