@@ -1,0 +1,85 @@
+"""Benchmark: batched offline enhancement throughput on the real TPU chip.
+
+Metric (BASELINE.json): audio-seconds of 16 kHz audio enhanced per wall
+second per chip, on the shipped FullSubNet+ architecture (8.67 M params,
+mag_complex_full_band_crm_mask path: STFT → 3-branch MulCA/TCN → folded
+sub-band LSTM → cIRM → iSTFT, all one jitted program).
+
+Baseline denominator: the reference publishes no numbers; its only concrete
+datapoint is the commented model-only timing in
+fullsubnet/model/fullsubnet.py:141-144 (16 s audio → 5.65 s ⇒ 2.83
+audio-s/s on the author's unstated hardware). BASELINE.json's target is
+"≥8× A100 audio-seconds/s/chip"; lacking a published A100 number we report
+vs_baseline against 8 × 2.83 = 22.6 audio-s/s — i.e. vs_baseline ≥ 1 means
+the per-chip target against the only measurable reference datapoint is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--seconds", type=float, default=10.0)
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+    from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+    from fullsubnet_plus_tpu.enhance import Enhancer
+
+    devices = jax.devices()
+    n_chips = len(devices)
+
+    config = FullSubNetPlusConfig()
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), config)
+    if args.dtype == "bfloat16":
+        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    enhancer = Enhancer(FULLSUBNET_PLUS, config, params)
+
+    sr = 16000
+    length = int(args.seconds * sr)
+    rng = np.random.default_rng(0)
+    noisy = (rng.standard_normal((args.batch, length)) * 0.1).astype(np.float32)
+    noisy_dev = jax.device_put(jnp.asarray(noisy))
+
+    # warmup / compile
+    for _ in range(args.warmup):
+        out = enhancer.mag_complex_full_band_crm_mask(noisy_dev)
+        out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = enhancer.mag_complex_full_band_crm_mask(noisy_dev)
+        out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = args.batch * args.seconds * args.iters
+    value = audio_seconds / elapsed / n_chips
+    baseline = 8.0 * 2.83  # see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "enhance_audio_seconds_per_second_per_chip",
+                "value": round(value, 3),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
