@@ -1,0 +1,80 @@
+"""Threaded prefetching batch loader (replaces torch DataLoader + DDP sampler).
+
+Each host builds its own loader over its shard of the clean list (the dataset
+already shards by host_id). Worker threads synthesize examples (numpy +
+scipy release the GIL in fftconvolve/resample), batches are stacked and
+prefetched ahead of the accelerator.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate (noisy [B, L], clean [B, L]) batches for one epoch at a time."""
+
+    def __init__(self, dataset, batch_size: int, *, num_workers: int = 4,
+                 drop_last: bool = True, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int):
+        """Generator of batches for the given epoch (deterministic order)."""
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).shuffle(indices)
+        if self.drop_last:
+            indices = indices[: len(indices) - len(indices) % self.batch_size]
+
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        break
+                    items = list(ex.map(self.dataset.__getitem__, batch_idx))
+                    arrays = tuple(
+                        np.stack([item[i] for item in items])
+                        for i in range(len(items[0]))
+                        if isinstance(items[0][i], np.ndarray)
+                    )
+                    q.put(arrays)
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
