@@ -48,6 +48,24 @@ def make_mesh(data: int | None = None, freq: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("data", "freq"))
 
 
+def auto_mesh(batch_size: int, devices=None) -> Mesh | None:
+    """Largest data-parallel mesh whose size divides the global batch.
+
+    Returns None when only one device exists (plain jit is cheaper than a
+    1-device mesh).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n <= 1:
+        return None
+    data = n
+    while data > 1 and batch_size % data != 0:
+        data -= 1
+    if data <= 1:
+        return None
+    return make_mesh(data=data, freq=1, devices=devices[:data])
+
+
 def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard the leading (batch) dim over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

@@ -1,0 +1,214 @@
+"""Experiment engine: the epoch loop with validation, checkpointing, and
+best-model gating (reference BaseTrainer, audio_zen/trainer/base_trainer.py,
++ Trainer_Finetune, fullsubnet_plus/trainer/trainer.py:307-444).
+
+One trainer class covers the reference's Trainer/Trainer_Finetune surface:
+the per-step math lives in train/step.py; this class owns the loop,
+rank-0-only side effects (checkpoints, logs, TensorBoard), and the
+validation score gate (mean of STOI and normalized WB-PESQ on the no-reverb
+split, base_trainer.py:296-302).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from fullsubnet_plus_tpu.eval.metrics import (
+    compute_metric,
+    metric_available,
+    validation_score,
+)
+from fullsubnet_plus_tpu.io.checkpoint import CheckpointManager
+from fullsubnet_plus_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+    make_optimizer,
+)
+from fullsubnet_plus_tpu.utils import logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_def,
+        model_config,
+        *,
+        save_dir: str,
+        train_loader=None,
+        valid_dataset=None,
+        loss_fn=None,
+        optimizer=None,
+        acoustics: dict | None = None,
+        epochs: int = 9999,
+        save_checkpoint_interval: int = 1,
+        validation_interval: int = 1,
+        validation_metrics=("STOI", "SI_SDR"),
+        metric_workers: int = 4,
+        save_max_metric_score: bool = True,
+        mesh=None,
+        compute_dtype=None,
+        seed: int = 0,
+        is_primary: bool = True,
+        use_tensorboard: bool = True,
+    ):
+        from fullsubnet_plus_tpu.train.loss import mse_loss
+
+        self.model_def = model_def
+        self.model_config = model_config
+        self.train_loader = train_loader
+        self.valid_dataset = valid_dataset
+        self.loss_fn = loss_fn or mse_loss
+        self.optimizer = optimizer or make_optimizer()
+        ac = acoustics or {}
+        self.acoustics = dict(
+            n_fft=ac.get("n_fft", 512),
+            hop_length=ac.get("hop_length", 256),
+            win_length=ac.get("win_length", 512),
+        )
+        self.sr = ac.get("sr", 16000)
+        self.epochs = epochs
+        self.save_checkpoint_interval = save_checkpoint_interval
+        self.validation_interval = validation_interval
+        self.validation_metrics = [
+            m for m in validation_metrics if metric_available(m)
+        ]
+        self.metric_workers = metric_workers
+        self.save_max_metric_score = save_max_metric_score
+        self.is_primary = is_primary
+
+        self.ckpt = CheckpointManager(save_dir, is_primary=is_primary)
+        self.start_epoch = 1
+        self.best_score = -np.inf if save_max_metric_score else np.inf
+
+        import jax.numpy as jnp
+
+        dtype = {None: jnp.float32, "float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}.get(compute_dtype, jnp.float32)
+        self.train_step = make_train_step(
+            model_def, model_config, self.optimizer, self.loss_fn,
+            compute_dtype=dtype, mesh=mesh, **self.acoustics,
+        )
+        self.eval_step = make_eval_step(
+            model_def, model_config, self.loss_fn, **self.acoustics
+        )
+
+        params = model_def.init(jax.random.PRNGKey(seed), model_config)
+        self.state = init_train_state(params, self.optimizer)
+        if mesh is not None:
+            from fullsubnet_plus_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+
+        self.writer = None
+        if use_tensorboard and is_primary:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(save_dir, "logs"))
+            except ImportError:
+                pass
+
+    # -- checkpoint plumbing -----------------------------------------------
+
+    def resume(self):
+        """-R: restore full state from latest_model.npz (base_trainer.py:128-157)."""
+        self.state, epoch, self.best_score = self.ckpt.resume(self.state)
+        self.start_epoch = epoch + 1
+        logger.log(f"Resumed from epoch {epoch} (best={self.best_score:.4f})")
+
+    def preload(self, path: str):
+        """-P: weights-only warm start (base_trainer.py:111-126)."""
+        params = self.ckpt.preload_params(path, self.state.params)
+        self.state = TrainState(params, self.state.opt_state, self.state.step)
+        logger.log(f"Preloaded model weights from {path}")
+
+    def _is_best(self, score: float) -> bool:
+        """base_trainer.py:202-213."""
+        if self.save_max_metric_score and score >= self.best_score:
+            self.best_score = score
+            return True
+        if not self.save_max_metric_score and score <= self.best_score:
+            self.best_score = score
+            return True
+        return False
+
+    # -- loop ---------------------------------------------------------------
+
+    def train(self, only_validation: bool = False):
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            if only_validation:
+                score = self._validation_epoch(epoch)
+                self.ckpt.save(self.state, epoch, self.best_score, self._is_best(score))
+                return
+            t0 = time.time()
+            train_loss = self._train_epoch(epoch)
+            logger.log(
+                f"[Train] epoch {epoch} loss {train_loss:.6f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            if self.writer:
+                self.writer.add_scalar("Loss/Train", train_loss, epoch)
+
+            if self.is_primary and epoch % self.save_checkpoint_interval == 0:
+                self.ckpt.save(self.state, epoch, self.best_score)
+            if epoch % self.validation_interval == 0 and self.valid_dataset is not None:
+                score = self._validation_epoch(epoch)
+                if self.is_primary and self._is_best(score):
+                    self.ckpt.save(self.state, epoch, self.best_score, is_best=True)
+
+    def _train_epoch(self, epoch: int) -> float:
+        loss_total, n = 0.0, 0
+        for noisy, clean in self.train_loader.epoch(epoch):
+            self.state, metrics = self.train_step(self.state, noisy, clean)
+            loss_total += float(metrics["loss"])
+            n += 1
+        return loss_total / max(n, 1)
+
+    def _validation_epoch(self, epoch: int) -> float:
+        """Per-utterance eval + CPU metrics, split by speech type
+        (trainer.py:364-444). Returns the no-reverb gate score."""
+        loss_by_type: dict = {}
+        pairs_by_type: dict = {}
+        for i in range(len(self.valid_dataset)):
+            noisy, clean, name, speech_type = self.valid_dataset[i]
+            loss, enhanced = self.eval_step(
+                self.state.params, noisy[None], clean[None]
+            )
+            enhanced = np.asarray(enhanced[0])
+            loss_by_type.setdefault(speech_type, []).append(float(loss))
+            pairs_by_type.setdefault(speech_type, []).append((clean, enhanced))
+
+        gate_score = 0.0
+        for speech_type, pairs in pairs_by_type.items():
+            mean_loss = float(np.mean(loss_by_type[speech_type]))
+            logger.log(f"[Val] epoch {epoch} {speech_type} loss {mean_loss:.6f}")
+            if self.writer:
+                self.writer.add_scalar(f"Loss/{speech_type}", mean_loss, epoch)
+            means = {}
+            with ThreadPoolExecutor(max_workers=self.metric_workers) as ex:
+                for metric in self.validation_metrics:
+                    vals = list(
+                        ex.map(
+                            lambda p: compute_metric(metric, p[0], p[1], sr=self.sr),
+                            pairs,
+                        )
+                    )
+                    means[metric] = float(np.mean(vals))
+                    logger.log(
+                        f"[Val] epoch {epoch} {speech_type} {metric} {means[metric]:.4f}"
+                    )
+                    if self.writer:
+                        self.writer.add_scalar(
+                            f"{metric}/{speech_type}", means[metric], epoch
+                        )
+            score = validation_score(means) if means else -np.inf
+            if speech_type == "No_reverb" or gate_score == 0.0:
+                gate_score = score
+        return gate_score
