@@ -25,7 +25,7 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
@@ -44,26 +44,36 @@ def main():
 
     config = FullSubNetPlusConfig()
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), config)
-    if args.dtype == "bfloat16":
-        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
 
-    enhancer = Enhancer(FULLSUBNET_PLUS, config, params)
+    enhancer = Enhancer(
+        FULLSUBNET_PLUS, config, params,
+        compute_dtype=args.dtype if args.dtype != "float32" else None,
+    )
 
     sr = 16000
     length = int(args.seconds * sr)
     rng = np.random.default_rng(0)
     noisy = (rng.standard_normal((args.batch, length)) * 0.1).astype(np.float32)
     noisy_dev = jax.device_put(jnp.asarray(noisy))
+    noisy_dev.block_until_ready()
 
-    # warmup / compile
-    for _ in range(args.warmup):
-        out = enhancer.mag_complex_full_band_crm_mask(noisy_dev)
-        out.block_until_ready()
+    # Measurement hygiene for the tunneled (axon) runtime: perturb the input
+    # on-device each iteration so no layer can serve a cached result, and
+    # force completion by fetching a scalar reduced from the output
+    # (block_until_ready alone can return before remote execution finishes).
+    perturb = jax.jit(lambda x, s: x + s)
+
+    def run(i):
+        xi = perturb(noisy_dev, jnp.float32(i) * 1e-9)
+        out = enhancer.mag_complex_full_band_crm_mask(xi)
+        return float(out[0, 0])
+
+    for i in range(args.warmup):
+        run(i)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = enhancer.mag_complex_full_band_crm_mask(noisy_dev)
-        out.block_until_ready()
+    for i in range(args.iters):
+        run(args.warmup + i)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = args.batch * args.seconds * args.iters

@@ -219,6 +219,7 @@ def apply(
         sb_input,
         sequence_model=config.sequence_model,
         output_activate_function=config.sb_output_activate_function,
+        fast=not training,  # fused Pallas LSTM on TPU at inference
     )  # [B*F, 2, T]
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),

@@ -32,6 +32,14 @@ _ACTIVATIONS = {
 }
 
 
+def _tpu_backend() -> bool:
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return dev.platform in ("tpu", "axon") or "TPU" in (dev.device_kind or "")
+
+
 def sequence_model_init(
     key,
     input_size: int,
@@ -74,8 +82,14 @@ def sequence_model_apply(
     sequence_model: str,
     bidirectional: bool = False,
     output_activate_function: str | bool | None = None,
+    fast: bool = False,
 ) -> jnp.ndarray:
-    """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123)."""
+    """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
+
+    `fast=True` (inference) routes 2-layer unidirectional LSTMs through the
+    fused Pallas kernel on TPU backends (ops/lstm_pallas.py); training and
+    CPU keep the differentiable lax.scan path.
+    """
     assert x.ndim == 3
     if sequence_model == "TCN":
         y = tcn_stack_apply(params["seq"], x)  # [B, F, T]
@@ -87,6 +101,14 @@ def sequence_model_apply(
         if sequence_model == "LSTM":
             if bidirectional:
                 o = bilstm_apply(params["seq"]["fwd"], params["seq"]["bwd"], xt)
+            elif (
+                fast
+                and len(params["seq"]["layers"]) == 2
+                and _tpu_backend()
+            ):
+                from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2
+
+                o = stacked_lstm2(params["seq"], xt)
             else:
                 o, _ = lstm_apply(params["seq"], xt)
         else:
