@@ -150,7 +150,31 @@ def hybrid_norm(x: jnp.ndarray, sample_length_in_training: int = 192) -> jnp.nda
     return x / (mu[:, None, :] + eps)
 
 
+def sband_forgetting_norm(x: jnp.ndarray, train_sample_length: int = 192) -> jnp.ndarray:
+    """Forgetting norm whose steady-state mean tracks only the middle
+    frequency bin (reference base_model.py:91-125). Input [B, F, T]."""
+    assert x.ndim == 3
+    eps = 1e-10
+    _, n_freqs, num_frames = x.shape
+    alpha = (train_sample_length - 1) / (train_sample_length + 1)
+    frame_mean = jnp.mean(x, axis=1)  # [B, T]
+    mid_bin = x[:, n_freqs // 2 - 1, :]  # [B, T]
+    idx = jnp.arange(num_frames, dtype=x.dtype)
+    in_prefix = idx < train_sample_length
+    alp_t = jnp.where(in_prefix, jnp.minimum((idx - 1.0) / (idx + 1.0), alpha), alpha)
+    drive = jnp.where(in_prefix[None, :], frame_mean, mid_bin)  # [B, T]
+
+    def step(mu, inputs):
+        alp, d = inputs
+        mu = alp * mu + (1.0 - alp) * d
+        return mu, mu
+
+    _, mu_seq = jax.lax.scan(step, jnp.zeros(x.shape[0], x.dtype), (alp_t, drive.T))
+    return x / (mu_seq.T[:, None, :] + eps)
+
+
 _NORMS = {
+    "sband_forgetting_norm": sband_forgetting_norm,
     "offline_laplace_norm": offline_laplace_norm,
     "cumulative_laplace_norm": cumulative_laplace_norm,
     "offline_gaussian_norm": offline_gaussian_norm,

@@ -133,6 +133,159 @@ def cbam_apply(params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# TSSE variant returning its gate (ChannelTimeSenseSEWeightLayer,
+# attention_model.py:101-156) — same params as TSSE, extra return value.
+# ---------------------------------------------------------------------------
+
+tsse_weight_init = tsse_init
+
+
+def tsse_weight_apply(params, x: jnp.ndarray, kersize=(3, 5, 10)):
+    """Returns (gated_x, gate[B, C, 1])."""
+    gated = tsse_apply(params, x, kersize=kersize)
+    # Recompute the gate cheaply from the ratio (x may contain zeros; derive
+    # the gate from the same squeeze path instead).
+    num_channels = x.shape[1]
+
+    def branch(conv_params):
+        y = conv1d(x, conv_params["weight"], conv_params["bias"], groups=num_channels)
+        return jax.nn.relu(jnp.mean(y, axis=-1))
+
+    feats = jnp.stack(
+        [branch(params["small_conv"]), branch(params["middle_conv"]),
+         branch(params["large_conv"])],
+        axis=-1,
+    )
+    squeeze = _linear(params["feature_concate_fc"], feats)[..., 0]
+    gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
+    return gated, gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Deep TSSE: two stacked depthwise convs per scale (attention_model.py:159-223)
+# ---------------------------------------------------------------------------
+
+def deep_tsse_init(key, num_channels: int, reduction_ratio: int = 2,
+                   kersize=(3, 5, 10), dtype=jnp.float32):
+    reduced = num_channels // reduction_ratio
+    keys = jax.random.split(key, 9)
+    branches = {}
+    for i, name in enumerate(("small", "middle", "large")):
+        branches[f"{name}_conv1"] = conv1d_init(
+            keys[2 * i], num_channels, num_channels, kersize[i], groups=num_channels, dtype=dtype
+        )
+        branches[f"{name}_conv2"] = conv1d_init(
+            keys[2 * i + 1], num_channels, num_channels, kersize[i], groups=num_channels, dtype=dtype
+        )
+    return {
+        **branches,
+        "feature_concate_fc": linear_init(keys[6], 3, 1, dtype=dtype),
+        "fc1": linear_init(keys[7], num_channels, reduced, dtype=dtype),
+        "fc2": linear_init(keys[8], reduced, num_channels, dtype=dtype),
+    }
+
+
+def deep_tsse_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    num_channels = x.shape[1]
+
+    def branch(name):
+        y = jax.nn.relu(
+            conv1d(x, params[f"{name}_conv1"]["weight"], params[f"{name}_conv1"]["bias"],
+                   groups=num_channels)
+        )
+        y = jax.nn.relu(
+            conv1d(y, params[f"{name}_conv2"]["weight"], params[f"{name}_conv2"]["bias"],
+                   groups=num_channels)
+        )
+        return jnp.mean(y, axis=-1)  # AdaptiveAvgPool AFTER the ReLUs here
+
+    feats = jnp.stack([branch("small"), branch("middle"), branch("large")], axis=-1)
+    squeeze = _linear(params["feature_concate_fc"], feats)[..., 0]
+    gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Self-attention + conv-attention blocks (attention_model.py:226-293, 364-390)
+# ---------------------------------------------------------------------------
+
+def self_attention_init(key, amp_dim: int = 257, att_dim: int = 257, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q_linear": linear_init(k1, amp_dim, att_dim, dtype=dtype),
+        "k_linear": linear_init(k2, amp_dim, att_dim, dtype=dtype),
+        "v_linear": linear_init(k3, amp_dim, att_dim, dtype=dtype),
+        "out": linear_init(k4, att_dim, amp_dim, dtype=dtype),
+        "d_k": amp_dim,
+    }
+
+
+def self_attention_apply(params, q, k, v):
+    """Sigmoid-scored attention over [B, T, F] (SelfAttentionlayer.forward).
+
+    Note the reference uses sigmoid, not softmax, on the scores.
+    """
+    import math as _math
+
+    q = _linear(params["q_linear"], q)
+    k = _linear(params["k_linear"], k)
+    v = _linear(params["v_linear"], v)
+    scores = jax.nn.sigmoid(
+        q @ jnp.swapaxes(k, -2, -1) / _math.sqrt(params["d_k"])
+    )
+    return _linear(params["out"], scores @ v)
+
+
+def conv_attention_block_init(key, num_channels: int, kersize: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1d": conv1d_init(k1, num_channels, num_channels, kersize,
+                              groups=num_channels, dtype=dtype),
+        "attention": self_attention_init(k2, num_channels, num_channels, dtype=dtype),
+    }
+
+
+def conv_attention_block_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, T] -> [B, C, 1] (Conv_Attention_Block.forward)."""
+    num_channels = x.shape[1]
+    y = conv1d(x, params["conv1d"]["weight"], params["conv1d"]["bias"],
+               groups=num_channels)
+    y = jnp.swapaxes(y, 1, 2)  # [B, T', C]
+    y = self_attention_apply(params["attention"], y, y, y)
+    pooled = jnp.mean(jnp.swapaxes(y, 1, 2), axis=-1, keepdims=True)
+    return jax.nn.relu(pooled)
+
+
+def tsse_attention_init(key, num_channels: int, reduction_ratio: int = 2,
+                        kersize=(3, 5, 10), dtype=jnp.float32):
+    reduced = num_channels // reduction_ratio
+    keys = jax.random.split(key, 6)
+    return {
+        "small_conv": conv_attention_block_init(keys[0], num_channels, kersize[0], dtype),
+        "middle_conv": conv_attention_block_init(keys[1], num_channels, kersize[1], dtype),
+        "large_conv": conv_attention_block_init(keys[2], num_channels, kersize[2], dtype),
+        "feature_concate_fc": linear_init(keys[3], 3, 1, dtype=dtype),
+        "fc1": linear_init(keys[4], num_channels, reduced, dtype=dtype),
+        "fc2": linear_init(keys[5], reduced, num_channels, dtype=dtype),
+    }
+
+
+def tsse_attention_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """ChannelTimeSenseAttentionSELayer.forward (attention_model.py:278-293)."""
+    feats = jnp.concatenate(
+        [
+            conv_attention_block_apply(params["small_conv"], x),
+            conv_attention_block_apply(params["middle_conv"], x),
+            conv_attention_block_apply(params["large_conv"], x),
+        ],
+        axis=2,
+    )  # [B, C, 3]
+    squeeze = _linear(params["feature_concate_fc"], feats)[..., 0]
+    gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
+    return x * gate[:, :, None]
+
+
+# ---------------------------------------------------------------------------
 # Registry keyed the way FullSubNet_Plus selects them (fullsubnet_plus.py:52-70)
 # ---------------------------------------------------------------------------
 
@@ -146,6 +299,10 @@ def channel_attention_init(key, model: str, num_channels: int, kersize=(3, 5, 10
         return eca_init(key, num_channels, dtype=dtype)
     if model == "CBAM":
         return cbam_init(key, num_channels, dtype=dtype)
+    if model == "DeepTSSE":
+        return deep_tsse_init(key, num_channels, kersize=kersize, dtype=dtype)
+    if model == "TSSE_ATT":
+        return tsse_attention_init(key, num_channels, kersize=kersize, dtype=dtype)
     raise NotImplementedError(f"Not implemented channel attention model {model}")
 
 
@@ -159,4 +316,8 @@ def channel_attention_apply(params, model: str, x: jnp.ndarray, kersize=(3, 5, 1
         return eca_apply(params, x)
     if model == "CBAM":
         return cbam_apply(params, x)
+    if model == "DeepTSSE":
+        return deep_tsse_apply(params, x)
+    if model == "TSSE_ATT":
+        return tsse_attention_apply(params, x)
     raise NotImplementedError(f"Not implemented channel attention model {model}")

@@ -50,3 +50,40 @@ def conv1d_init(key, in_channels, out_channels, kernel_size, groups=1, dtype=jnp
 
 def orthogonal(key, shape, dtype=jnp.float32):
     return jax.nn.initializers.orthogonal()(key, shape, dtype)
+
+
+def reference_weight_init(key, params, path=""):
+    """Re-initialize a param tree with the reference's optional scheme
+    (BaseModel.weight_init, base_model.py:332-397): xavier-normal for linear
+    weights, standard-normal for conv1d weights and all biases, orthogonal
+    for recurrent matrices. The shipped configs set weight_init=false, so
+    this is for config-surface parity only.
+
+    Heuristics mirror the torch isinstance dispatch using our layouts:
+      * {"w_ih"/"w_hh"}: LSTM/GRU — orthogonal (ndim>=2), normal otherwise
+      * conv weights [O, I/g, K] (ndim==3): normal
+      * linear weights [in, out] (ndim==2): xavier-normal
+      * biases / 1-D tensors: normal
+    """
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves = []
+    for tree_path, leaf in flat:
+        key, sub = jax.random.split(key)
+        name = str(tree_path[-1])
+        arr = jnp.asarray(leaf)
+        if "norm" in str(tree_path).lower() or "prelu" in str(tree_path).lower():
+            new_leaves.append(arr)  # GroupNorm/PReLU keep defaults
+            continue
+        if ("w_ih" in name or "w_hh" in name) and arr.ndim >= 2:
+            new_leaves.append(orthogonal(sub, arr.shape, arr.dtype))
+        elif arr.ndim == 3:  # conv1d weight
+            new_leaves.append(jax.random.normal(sub, arr.shape, arr.dtype))
+        elif arr.ndim == 2:  # linear weight — xavier normal
+            fan_in, fan_out = arr.shape
+            std = math.sqrt(2.0 / (fan_in + fan_out))
+            new_leaves.append(std * jax.random.normal(sub, arr.shape, arr.dtype))
+        else:
+            new_leaves.append(jax.random.normal(sub, arr.shape, arr.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -70,6 +70,12 @@ def sequence_model_init(
         # hidden_size/num_layers intentionally unused (reference behavior).
         seq = tcn_stack_init(k_seq, input_size, hidden_channel=512, dtype=dtype)
         fc_in = input_size
+    elif sequence_model == "TCN-subband":
+        seq = tcn_stack_init(
+            k_seq, input_size, hidden_channel=hidden_size, dtype=dtype,
+            subband_variant=True,
+        )
+        fc_in = input_size
     else:
         raise NotImplementedError(f"Not implemented {sequence_model}")
     return {"seq": seq, "fc_output_layer": linear_init(k_fc, fc_in, output_size, dtype)}
@@ -91,7 +97,7 @@ def sequence_model_apply(
     CPU keep the differentiable lax.scan path.
     """
     assert x.ndim == 3
-    if sequence_model == "TCN":
+    if sequence_model in ("TCN", "TCN-subband"):
         y = tcn_stack_apply(params["seq"], x)  # [B, F, T]
         o = jnp.swapaxes(y, 1, 2) @ params["fc_output_layer"]["weight"] + params[
             "fc_output_layer"
@@ -117,3 +123,56 @@ def sequence_model_apply(
     if output_activate_function:
         o = _ACTIVATIONS[output_activate_function](o)
     return jnp.swapaxes(o, 1, 2)  # [B, O, T]
+
+
+# ---------------------------------------------------------------------------
+# Complex-valued sequence model (reference Complex_SequenceModel,
+# sequence_model.py:126-243; unused by shipped configs). Two real recurrent
+# nets model the real/imag parts with cross terms:
+#   real_out = real_net(re) - imag_net(im);  imag_out = real_net(im) + imag_net(re)
+# ---------------------------------------------------------------------------
+
+def complex_sequence_model_init(
+    key, input_size, output_size, hidden_size, num_layers,
+    bidirectional=False, sequence_model="LSTM", dtype=jnp.float32,
+):
+    assert not bidirectional, "bidirectional complex model unused by configs"
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rnn_init = lstm_init if sequence_model == "LSTM" else gru_init
+    if sequence_model not in ("LSTM", "GRU"):
+        raise NotImplementedError(f"Not implemented {sequence_model}")
+    return {
+        "real_sequence_model": rnn_init(k1, input_size, hidden_size, num_layers, dtype),
+        "imag_sequence_model": rnn_init(k2, input_size, hidden_size, num_layers, dtype),
+        "real_fc_output_layer": linear_init(k3, hidden_size, output_size, dtype),
+        "imag_fc_output_layer": linear_init(k4, hidden_size, output_size, dtype),
+    }
+
+
+def complex_sequence_model_apply(
+    params, x, *, sequence_model="LSTM", output_activate_function=None,
+):
+    """x: [B, 2F, T] (real/imag stacked on the channel dim) -> [B, 2O, T]."""
+    assert x.ndim == 3
+    rnn = lstm_apply if sequence_model == "LSTM" else gru_apply
+    real, imag = jnp.split(x, 2, axis=1)
+    real = jnp.swapaxes(real, 1, 2)
+    imag = jnp.swapaxes(imag, 1, 2)
+    r2r, _ = rnn(params["real_sequence_model"], real)
+    r2i, _ = rnn(params["imag_sequence_model"], real)
+    i2r, _ = rnn(params["real_sequence_model"], imag)
+    i2i, _ = rnn(params["imag_sequence_model"], imag)
+    real_out = r2r - i2i
+    imag_out = i2r + r2i
+    real_out = real_out @ params["real_fc_output_layer"]["weight"] + params[
+        "real_fc_output_layer"
+    ]["bias"]
+    imag_out = imag_out @ params["imag_fc_output_layer"]["weight"] + params[
+        "imag_fc_output_layer"
+    ]["bias"]
+    if output_activate_function:
+        act = _ACTIVATIONS[output_activate_function]
+        real_out, imag_out = act(real_out), act(imag_out)
+    return jnp.concatenate(
+        [jnp.swapaxes(real_out, 1, 2), jnp.swapaxes(imag_out, 1, 2)], axis=1
+    )

@@ -106,16 +106,133 @@ def tcn_block_apply(
     return x + out if use_skip_connection else out
 
 
+# STCNBlock in the reference (causal_conv.py:120-170) is a verbatim duplicate
+# of TCNBlock; alias rather than re-implement.
+stcn_block_init = tcn_block_init
+stcn_block_apply = tcn_block_apply
+
+
+# ---------------------------------------------------------------------------
+# 2-D causal encoder/decoder convs (causal_conv.py:5-64; unused by shipped
+# configs but part of the module surface). BatchNorm runs with provided
+# statistics (inference) or batch statistics (training=True).
+# ---------------------------------------------------------------------------
+
+def conv2d(x, weight, bias=None, *, stride=(1, 1), padding=((0, 0), (0, 0))):
+    """torch.nn.functional.conv2d. x [B, C, F, T], weight [O, I, KF, KT]."""
+    out = jax.lax.conv_general_dilated(
+        x, weight, window_strides=stride, padding=list(padding),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def batch_norm2d(x, params, *, training: bool = False, eps: float = 1e-5):
+    if training:
+        mu = jnp.mean(x, axis=(0, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(0, 2, 3), keepdims=True)
+    else:
+        mu = params["running_mean"][None, :, None, None]
+        var = params["running_var"][None, :, None, None]
+    x = (x - mu) * jax.lax.rsqrt(var + eps)
+    return x * params["weight"][None, :, None, None] + params["bias"][None, :, None, None]
+
+
+def _bn_init(channels, dtype=jnp.float32):
+    return {
+        "weight": jnp.ones((channels,), dtype),
+        "bias": jnp.zeros((channels,), dtype),
+        "running_mean": jnp.zeros((channels,), dtype),
+        "running_var": jnp.ones((channels,), dtype),
+    }
+
+
+def causal_conv_block_init(key, in_channels, out_channels, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = in_channels * 3 * 2
+    from fullsubnet_plus_tpu.nn.init import kaiming_uniform, uniform_fan_in
+
+    return {
+        "conv": {
+            "weight": kaiming_uniform(kw, (out_channels, in_channels, 3, 2), fan_in, dtype=dtype),
+            "bias": uniform_fan_in(kb, (out_channels,), fan_in, dtype=dtype),
+        },
+        "norm": _bn_init(out_channels, dtype),
+    }
+
+
+def causal_conv_block_apply(params, x, *, activation="ELU", training=False):
+    """[B, C, F, T] -> halved F, same T; causal in time via right-chomp."""
+    y = conv2d(x, params["conv"]["weight"], params["conv"]["bias"],
+               stride=(2, 1), padding=((0, 0), (1, 1)))
+    y = y[:, :, :, :-1]  # chomp the look-ahead sample
+    y = batch_norm2d(y, params["norm"], training=training)
+    act = {"ELU": jax.nn.elu, "ReLU": jax.nn.relu, "Tanh": jnp.tanh,
+           "LeakyReLU": jax.nn.leaky_relu}[activation]
+    return act(y)
+
+
+def causal_trans_conv_block_init(key, in_channels, out_channels, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    fan_in = out_channels * 3 * 2  # transposed conv fan-in uses out side
+    from fullsubnet_plus_tpu.nn.init import kaiming_uniform, uniform_fan_in
+
+    return {
+        "conv": {
+            # torch ConvTranspose2d weight layout [in, out, KF, KT]
+            "weight": kaiming_uniform(kw, (in_channels, out_channels, 3, 2), fan_in, dtype=dtype),
+            "bias": uniform_fan_in(kb, (out_channels,), fan_in, dtype=dtype),
+        },
+        "norm": _bn_init(out_channels, dtype),
+    }
+
+
+def causal_trans_conv_block_apply(params, x, *, is_last=False,
+                                  output_padding=(0, 0), training=False):
+    """ConvTranspose2d (3,2)/(2,1) + chomp + BN + ELU/ReLU (causal_conv.py:35-64).
+
+    torch's ConvTranspose2d is the gradient of a forward conv, i.e. a
+    fractionally-strided conv with the spatially *flipped* kernel; flip here
+    and use VALID padding (verified element-exact vs torch at HIGHEST
+    precision).
+    """
+    weight = params["conv"]["weight"]  # torch layout [I, O, KF, KT]
+    kernel = jnp.transpose(weight[:, :, ::-1, ::-1], (2, 3, 0, 1))  # [KF, KT, I, O]
+    y = jax.lax.conv_transpose(
+        x,
+        kernel,
+        strides=(2, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if any(output_padding):
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, output_padding[0]), (0, output_padding[1])))
+    y = y + params["conv"]["bias"][None, :, None, None]
+    y = y[:, :, :, :-1]  # chomp
+    y = batch_norm2d(y, params["norm"], training=training)
+    return jax.nn.relu(y) if is_last else jax.nn.elu(y)
+
+
 # The shipped full-band extractor stack: 8 blocks, dilations repeat (1,2,5,9).
 TCN_DILATIONS = (1, 2, 5, 9, 1, 2, 5, 9)
 
 
-def tcn_stack_init(key, channels: int, hidden_channel: int = 512, dtype=jnp.float32):
+def tcn_stack_init(key, channels: int, hidden_channel: int = 512, dtype=jnp.float32,
+                   subband_variant: bool = False):
+    """8-block stack. `subband_variant` reproduces SequenceModel's
+    "TCN-subband" (sequence_model.py:59-70): hidden = hidden_channel for the
+    first 7 blocks and 384 for the last."""
     keys = jax.random.split(key, len(TCN_DILATIONS))
+    hiddens = [hidden_channel] * len(TCN_DILATIONS)
+    if subband_variant:
+        hiddens[-1] = 384
     return {
         "blocks": [
-            tcn_block_init(k, channels, hidden_channel, channels, dtype=dtype)
-            for k in keys
+            tcn_block_init(k, channels, h, channels, dtype=dtype)
+            for k, h in zip(keys, hiddens)
         ]
     }
 

@@ -143,6 +143,84 @@ def make_train_step(
     )
 
 
+def make_joint_mask_train_step(
+    forward_fn,
+    optimizer,
+    loss_fn,
+    *,
+    alpha: float = 1.0,
+    num_groups: int = 2,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+):
+    """Reference `Trainer` variant (fullsubnet_plus/trainer/trainer.py:14-73):
+    joint loss α·MSE(cIRM, cRM) + (1-α)·MSE(IRM, RM) for models whose
+    forward returns the pair (RM, cRM) as [B,1,F,T] / [B,2,F,T].
+
+    forward_fn(params, noisy_mag, noisy_real, noisy_imag) -> (RM, cRM).
+    """
+    from fullsubnet_plus_tpu.dsp.mask import build_ideal_ratio_mask
+
+    def loss_value(params, noisy, clean):
+        noisy_mag, noisy_real, noisy_imag = stft_split(noisy, n_fft, hop_length, win_length)
+        clean_mag, clean_real, clean_imag = stft_split(clean, n_fft, hop_length, win_length)
+        gt_irm = build_ideal_ratio_mask(noisy_mag, clean_mag)  # [B, F, T, 1]
+        gt_cirm = build_complex_ideal_ratio_mask(noisy_real, noisy_imag, clean_real, clean_imag)
+        gt_cirm = jnp.transpose(
+            drop_band(jnp.transpose(gt_cirm, (0, 3, 1, 2)), num_groups), (0, 2, 3, 1)
+        )
+        rm, crm = forward_fn(params, noisy_mag, noisy_real, noisy_imag)
+        rm = jnp.transpose(rm, (0, 2, 3, 1))
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        return alpha * loss_fn(gt_cirm, crm) + (1.0 - alpha) * loss_fn(gt_irm, rm)
+
+    def train_step(state: TrainState, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_value)(state.params, noisy, clean)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_residual_train_step(
+    forward_fn,
+    optimizer,
+    loss_fn,
+    *,
+    alpha: float = 1.0,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+):
+    """Reference `Residual_Trainer` (trainer.py:160-225): joint loss
+    α·MSE(clean complex spectrum, enhanced complex) + (1-α)·MSE(cIRM, cIRM̂)
+    for models returning (cIRM, enhanced_complex), each [B,2,F,T]. No
+    drop_band (the reference comments it out for this variant).
+    """
+
+    def loss_value(params, noisy, clean):
+        noisy_mag, noisy_real, noisy_imag = stft_split(noisy, n_fft, hop_length, win_length)
+        _, clean_real, clean_imag = stft_split(clean, n_fft, hop_length, win_length)
+        gt_cirm = build_complex_ideal_ratio_mask(noisy_real, noisy_imag, clean_real, clean_imag)
+        gt_complex = jnp.stack([clean_real, clean_imag], axis=-1)  # [B, F, T, 2]
+        cirm, enhanced_complex = forward_fn(params, noisy_mag, noisy_real, noisy_imag)
+        cirm = jnp.transpose(cirm, (0, 2, 3, 1))
+        enhanced_complex = jnp.transpose(enhanced_complex, (0, 2, 3, 1))
+        return alpha * loss_fn(gt_complex, enhanced_complex) + (1.0 - alpha) * loss_fn(
+            gt_cirm, cirm
+        )
+
+    def train_step(state: TrainState, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_value)(state.params, noisy, clean)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_eval_step(
     model_def,
     config,

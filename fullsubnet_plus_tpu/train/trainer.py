@@ -107,6 +107,7 @@ class Trainer:
             self.state = jax.device_put(self.state, replicated(mesh))
 
         self.writer = None
+        self.visualization_n_samples = 3
         if use_tensorboard and is_primary:
             try:
                 from tensorboardX import SummaryWriter
@@ -114,6 +115,42 @@ class Trainer:
                 self.writer = SummaryWriter(os.path.join(save_dir, "logs"))
             except ImportError:
                 pass
+
+    def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch,
+                                 mark=""):
+        """TB audio + magma spectrogram triptych for a validation sample
+        (base_trainer.py:236-261)."""
+        if self.writer is None:
+            return
+        self.writer.add_audio(f"{mark}_Speech/{name}_Noisy", noisy, epoch,
+                              sample_rate=self.sr)
+        self.writer.add_audio(f"{mark}_Speech/{name}_Enhanced", enhanced, epoch,
+                              sample_rate=self.sr)
+        self.writer.add_audio(f"{mark}_Speech/{name}_Clean", clean, epoch,
+                              sample_rate=self.sr)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from fullsubnet_plus_tpu.dsp.stft import stft
+
+            fig, axes = plt.subplots(3, 1, figsize=(6, 6))
+            for ax, (label, y) in zip(
+                axes, (("Noisy", noisy), ("Enhanced", enhanced), ("Clean", clean))
+            ):
+                mag = np.abs(np.asarray(stft(y[None].astype(np.float32))))[0]
+                ax.imshow(
+                    20 * np.log10(mag + 1e-8), origin="lower", aspect="auto",
+                    cmap="magma",
+                )
+                ax.set_title(label)
+            fig.tight_layout()
+            self.writer.add_figure(f"{mark}_Spectrogram/{name}", fig, epoch)
+            plt.close(fig)
+        except Exception:
+            pass  # visualization must never break training
 
     # -- checkpoint plumbing -----------------------------------------------
 
@@ -183,6 +220,10 @@ class Trainer:
             )
             enhanced = np.asarray(enhanced[0])
             loss_by_type.setdefault(speech_type, []).append(float(loss))
+            if len(pairs_by_type.get(speech_type, ())) < self.visualization_n_samples:
+                self.spec_audio_visualization(
+                    noisy, enhanced, clean, name, epoch, mark=speech_type
+                )
             pairs_by_type.setdefault(speech_type, []).append((clean, enhanced))
 
         gate_score = 0.0
