@@ -96,9 +96,14 @@ class Enhancer:
             if self.mesh is not None:
                 from fullsubnet_plus_tpu.parallel.mesh import data_sharding
 
-                self._jitted[name] = jax.jit(
-                    fn, in_shardings=(data_sharding(self.mesh, 2),)
-                )
+                jitted = jax.jit(fn, in_shardings=(data_sharding(self.mesh, 2),))
+                mesh = self.mesh
+
+                def run(noisy, _jitted=jitted, _mesh=mesh):
+                    with jax.set_mesh(_mesh):
+                        return _jitted(noisy)
+
+                self._jitted[name] = run
             else:
                 self._jitted[name] = jax.jit(fn)
         return self._jitted[name]

@@ -60,6 +60,12 @@ class FullSubNetPlusConfig:
     output_size: int = 2
     subband_num: int = 1
     kersize: tuple = (3, 5, 10)
+    # Shard the folded (B·F) sub-band LSTM batch over these mesh axes, e.g.
+    # ("data", "freq") — the capability the reference lacks (SURVEY.md §5
+    # "Long-context"): when the fold exceeds one chip's HBM, XLA splits it
+    # across chips and all-gathers the tiny [B,2,F,T] mask at the end.
+    # Requires an ambient mesh (jax.set_mesh) providing the named axes.
+    fold_sharding: tuple | None = None
 
     @property
     def num_channels(self) -> int:
@@ -214,6 +220,12 @@ def apply(
     sb_input = sb_input.reshape(
         batch_size * num_freqs_out, config.sb_input_size, num_frames
     )
+    if config.fold_sharding is not None:
+        from jax.sharding import PartitionSpec
+
+        sb_input = jax.lax.with_sharding_constraint(
+            sb_input, PartitionSpec(tuple(config.fold_sharding), None, None)
+        )
     sb_mask = sequence_model_apply(
         params["sb_model"],
         sb_input,

@@ -134,13 +134,21 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
     # Batch shards over 'data'; the state keeps its placement (the caller
-    # device_puts it replicated via parallel.replicated(mesh)).
+    # device_puts it replicated via parallel.replicated(mesh)). The jitted fn
+    # runs under the ambient mesh so in-model sharding constraints (e.g.
+    # config.fold_sharding) can name its axes.
     batch_sharding = data_sharding(mesh, ndim=2)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         donate_argnums=(0,),
         in_shardings=(None, batch_sharding, batch_sharding),
     )
+
+    def run(state, noisy, clean):
+        with jax.set_mesh(mesh):
+            return jitted(state, noisy, clean)
+
+    return run
 
 
 def make_joint_mask_train_step(
