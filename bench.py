@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace here")
     args = parser.parse_args()
 
     import jax
@@ -71,10 +73,13 @@ def main():
     for i in range(args.warmup):
         run(i)
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        run(args.warmup + i)
-    elapsed = time.perf_counter() - t0
+    from fullsubnet_plus_tpu.utils.profiling import device_trace
+
+    with device_trace(args.profile_dir):
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            run(args.warmup + i)
+        elapsed = time.perf_counter() - t0
 
     audio_seconds = args.batch * args.seconds * args.iters
     value = audio_seconds / elapsed / n_chips

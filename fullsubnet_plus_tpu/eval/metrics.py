@@ -74,12 +74,30 @@ def sdr(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000) -> float
     return float(sdr_val[0])
 
 
+_MOSNET_MODEL = []
+
+
+def mosnet(reference: np.ndarray, estimation: np.ndarray, sr: int = 16000) -> float:
+    """Lazy MOSNet via `speechmetrics` when available (metrics.py:113-125)."""
+    try:
+        import speechmetrics
+    except ImportError as e:
+        raise RuntimeError(
+            "MOSNET needs `speechmetrics`, which is not installed."
+        ) from e
+    if not _MOSNET_MODEL:
+        _MOSNET_MODEL.append(speechmetrics.load("mosnet", window=None))
+    result = _MOSNET_MODEL[0](estimation, rate=sr)
+    return float(np.mean(result["mosnet"]))
+
+
 REGISTERED_METRICS = {
     "SI_SDR": si_sdr,
     "STOI": stoi,
     "WB_PESQ": wb_pesq,
     "NB_PESQ": nb_pesq,
     "SDR": sdr,
+    "MOSNET": mosnet,
 }
 
 
@@ -102,6 +120,13 @@ def metric_available(name: str) -> bool:
     if name == "SDR":
         try:
             import mir_eval  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    if name == "MOSNET":
+        try:
+            import speechmetrics  # noqa: F401
 
             return True
         except ImportError:

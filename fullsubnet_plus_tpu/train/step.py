@@ -84,9 +84,20 @@ def make_train_step(
     win_length: int = 512,
     compute_dtype=jnp.float32,
     mesh=None,
+    remat: bool = False,
 ):
-    """Build the jitted (state, noisy, clean) -> (state, metrics) step."""
+    """Build the jitted (state, noisy, clean) -> (state, metrics) step.
+
+    `remat=True` wraps the model forward in jax.checkpoint, trading FLOPs
+    for activation memory (lets the per-chip batch grow past HBM limits).
+    """
     forward = _model_forward(model_def)
+    if remat:
+        base_forward = forward
+        forward = jax.checkpoint(
+            lambda md, cfg, p, m, r, i, t: base_forward(md, cfg, p, m, r, i, t),
+            static_argnums=(0, 1, 6),
+        )
     num_groups = config.num_groups_in_drop_band
 
     def loss_and_grads_input(params, noisy, clean):

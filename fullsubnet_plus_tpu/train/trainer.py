@@ -122,12 +122,15 @@ class Trainer:
         (base_trainer.py:236-261)."""
         if self.writer is None:
             return
-        self.writer.add_audio(f"{mark}_Speech/{name}_Noisy", noisy, epoch,
-                              sample_rate=self.sr)
-        self.writer.add_audio(f"{mark}_Speech/{name}_Enhanced", enhanced, epoch,
-                              sample_rate=self.sr)
-        self.writer.add_audio(f"{mark}_Speech/{name}_Clean", clean, epoch,
-                              sample_rate=self.sr)
+        try:  # tensorboardX's add_audio needs soundfile, absent in some envs
+            self.writer.add_audio(f"{mark}_Speech/{name}_Noisy", noisy, epoch,
+                                  sample_rate=self.sr)
+            self.writer.add_audio(f"{mark}_Speech/{name}_Enhanced", enhanced,
+                                  epoch, sample_rate=self.sr)
+            self.writer.add_audio(f"{mark}_Speech/{name}_Clean", clean, epoch,
+                                  sample_rate=self.sr)
+        except Exception:
+            pass
         try:
             import matplotlib
 

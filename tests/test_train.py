@@ -164,6 +164,40 @@ def test_data_parallel_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_train_step_bf16_and_remat(rng):
+    """bfloat16 compute and rematerialized forward both produce finite,
+    comparable losses on the shrunken model."""
+    import jax.numpy as jnp
+
+    cfg = FullSubNetPlusConfig(
+        num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=32,
+        sb_model_hidden_size=24,
+    )
+    acoustics = dict(n_fft=64, hop_length=32, win_length=64)
+    optimizer = make_optimizer()
+    B, L = 4, 4096
+    noisy = rng.standard_normal((B, L)).astype(np.float32) * 0.1
+    clean = (0.8 * noisy).astype(np.float32)
+
+    losses = {}
+    for name, kwargs in (
+        ("fp32", {}),
+        ("bf16", {"compute_dtype": jnp.bfloat16}),
+        ("remat", {"remat": True}),
+    ):
+        state = init_train_state(
+            FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), cfg), optimizer
+        )
+        step = make_train_step(
+            FULLSUBNET_PLUS, cfg, optimizer, mse_loss, **acoustics, **kwargs
+        )
+        _, m = step(state, noisy, clean)
+        losses[name] = float(m["loss"])
+        assert np.isfinite(losses[name])
+    np.testing.assert_allclose(losses["remat"], losses["fp32"], rtol=1e-5)
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.1)
+
+
 def test_eval_step_runs(rng):
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0))
     eval_step = make_eval_step(FULLSUBNET_PLUS, CFG, mse_loss)
