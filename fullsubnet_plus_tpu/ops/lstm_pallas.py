@@ -62,10 +62,14 @@ def _make_kernel(steps_per_block: int):
         # `steps_per_block` timesteps per grid iteration (statically
         # unrolled). Measured on v5e: 1 is fastest — larger blocks blow up
         # VMEM live ranges and lose to Pallas's own double buffering.
+        # Matmuls run in the weights' storage dtype (state is cast down per
+        # step so bf16 weights get true-bf16 MXU rate) with fp32 accumulation;
+        # the carried state itself stays fp32 in VMEM.
+        mm = u1_ref.dtype
         for k in range(steps_per_block):
             gates1 = (
                 jnp.dot(x_ref[k], w1_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h1[:], u1_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h1[:].astype(mm), u1_ref[:], preferred_element_type=jnp.float32)
                 + b1_ref[0].astype(jnp.float32)
             )
             h1_new, c1_new = cell(gates1, c1[:])
@@ -74,8 +78,8 @@ def _make_kernel(steps_per_block: int):
 
             # Layer 2: fresh h1 feeds straight in — no second sweep over T.
             gates2 = (
-                jnp.dot(h1[:], w2_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h2[:], u2_ref[:], preferred_element_type=jnp.float32)
+                jnp.dot(h1[:].astype(mm), w2_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(h2[:].astype(mm), u2_ref[:], preferred_element_type=jnp.float32)
                 + b2_ref[0].astype(jnp.float32)
             )
             h2_new, c2_new = cell(gates2, c2[:])
