@@ -58,13 +58,46 @@ def snr_mix(
     rng: np.random.Generator,
     rir: np.ndarray | None = None,
     eps: float = 1e-6,
+    use_native: bool = True,
 ):
     """Mix at the given SNR with loudness retargeting and de-clipping
-    (dataset_train.py:129-182). Returns (noisy_y, clean_y)."""
+    (dataset_train.py:129-182). Returns (noisy_y, clean_y).
+
+    All random draws happen HERE (never in the native library), so the
+    native C++ fast path (native/mixkit.cc, via data/native.py) and the
+    numpy path consume identical random streams and agree to float rounding.
+    """
     if rir is not None:
         if rir.ndim > 1:
             rir = rir[rng.integers(rir.shape[0]), :]
-        clean_y = fftconvolve(clean_y, rir)[: len(clean_y)]
+
+    noisy_target_db_fs = int(
+        rng.integers(
+            target_db_fs - target_db_fs_floating_value,
+            target_db_fs + target_db_fs_floating_value,
+        )
+    )
+
+    if rir is not None:
+        convolved = None
+        # Direct-form native conv is O(n·taps): only faster than FFT for
+        # short RIRs; long room responses stay on scipy's fftconvolve.
+        if use_native and len(rir) <= 512:
+            from fullsubnet_plus_tpu.data import native
+
+            convolved = native.rir_convolve(clean_y, rir)
+        if convolved is None:
+            convolved = fftconvolve(clean_y, rir)[: len(clean_y)]
+        clean_y = convolved
+
+    if use_native:
+        from fullsubnet_plus_tpu.data import native
+
+        result = native.snr_mix_native(
+            clean_y, noise_y, snr, target_db_fs, noisy_target_db_fs, eps
+        )
+        if result is not None:
+            return result
 
     clean_y, _ = norm_amplitude(clean_y)
     clean_y, _, _ = tailor_db_fs(clean_y, target_db_fs)
@@ -78,12 +111,6 @@ def snr_mix(
     noise_y = noise_y * snr_scalar
     noisy_y = clean_y + noise_y
 
-    noisy_target_db_fs = int(
-        rng.integers(
-            target_db_fs - target_db_fs_floating_value,
-            target_db_fs + target_db_fs_floating_value,
-        )
-    )
     noisy_y, _, noisy_scalar = tailor_db_fs(noisy_y, noisy_target_db_fs)
     clean_y = clean_y * noisy_scalar
 
