@@ -80,3 +80,21 @@ def freq_sharding(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def globalize_batch(mesh: Mesh, *arrays):
+    """Assemble per-host local batch shards into global device arrays.
+
+    Single-process: returns the arrays unchanged (jit shards them itself).
+    Multi-process: each host contributes its local [b_local, ...] shard of a
+    global [b_local * num_processes, ...] batch sharded over 'data' — this is
+    how the per-host input pipelines feed one global train step (replacing
+    DistributedSampler + DDP).
+    """
+    if jax.process_count() == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = []
+    for arr in arrays:
+        sharding = NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1))))
+        out.append(jax.make_array_from_process_local_data(sharding, np.asarray(arr)))
+    return tuple(out) if len(out) > 1 else out[0]

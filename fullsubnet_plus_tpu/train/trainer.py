@@ -99,6 +99,7 @@ class Trainer:
             model_def, model_config, self.loss_fn, **self.acoustics
         )
 
+        self.mesh = mesh
         params = model_def.init(jax.random.PRNGKey(seed), model_config)
         self.state = init_train_state(params, self.optimizer)
         if mesh is not None:
@@ -204,8 +205,12 @@ class Trainer:
                     self.ckpt.save(self.state, epoch, self.best_score, is_best=True)
 
     def _train_epoch(self, epoch: int) -> float:
+        from fullsubnet_plus_tpu.parallel.mesh import globalize_batch
+
         loss_total, n = 0.0, 0
         for noisy, clean in self.train_loader.epoch(epoch):
+            if self.mesh is not None and jax.process_count() > 1:
+                noisy, clean = globalize_batch(self.mesh, noisy, clean)
             self.state, metrics = self.train_step(self.state, noisy, clean)
             loss_total += float(metrics["loss"])
             n += 1
