@@ -73,7 +73,7 @@ class Enhancer:
 
     # -- public API ---------------------------------------------------------
 
-    def enhance_batch(self, noisy: np.ndarray, lengths=None) -> np.ndarray:
+    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
         """[B, L] noisy float32 -> [B, L] enhanced float32 (no rescale)."""
         fn = getattr(self, self.inference_type)
         out = fn(jnp.asarray(noisy))
@@ -212,7 +212,17 @@ class Enhancer:
             )  # [B*F, 2, T]
             crm = crm.reshape(batch, num_freqs, 2, frames)
             crm = jnp.transpose(crm, (0, 1, 3, 2))  # [B, F, T, 2]
-            return _crm_to_wave(crm, real, imag, length, self.n_fft, self.hop, self.win)
+            # this mode hand-rolls decompression with lim=9.99 instead of the
+            # shared 9.9 (inferencer.py:104-106) — replicate exactly
+            lim = 9.99
+            crm = jnp.clip(crm, -lim, lim)
+            crm = -10.0 * jnp.log((10.0 - crm) / (10.0 + crm))
+            enhanced_real = crm[..., 0] * real - crm[..., 1] * imag
+            enhanced_imag = crm[..., 1] * real + crm[..., 0] * imag
+            return istft(
+                (enhanced_real, enhanced_imag), self.n_fft, self.hop, self.win,
+                length=length,
+            )
 
         return self._jit("sub_band", fn)(noisy)
 

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _make_kernel(steps_per_block: int):
+def _make_kernel(steps_per_block: int, sub_tiles: int = 1):
     def _kernel(x_ref, w1_ref, b1_ref, u1_ref, w2_ref, b2_ref, u2_ref,
                 out_ref, h1, c1, h2, c2):
         t = pl.program_id(1)
@@ -49,6 +49,8 @@ def _make_kernel(steps_per_block: int):
             c2[:] = jnp.zeros_like(c2)
 
         hidden = h1.shape[-1]
+        tile_n = h1.shape[0]
+        sub = tile_n // sub_tiles
 
         def cell(gates, c_prev):
             i = jax.nn.sigmoid(gates[:, :hidden])
@@ -65,34 +67,39 @@ def _make_kernel(steps_per_block: int):
         # Matmuls run in the weights' storage dtype (state is cast down per
         # step so bf16 weights get true-bf16 MXU rate) with fp32 accumulation;
         # the carried state itself stays fp32 in VMEM.
+        # `sub_tiles` splits the row tile into independent chains so the
+        # instruction scheduler can overlap one chain's VPU cell math with
+        # another's MXU matmuls.
         mm = u1_ref.dtype
         for k in range(steps_per_block):
-            gates1 = (
-                jnp.dot(x_ref[k], w1_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h1[:].astype(mm), u1_ref[:], preferred_element_type=jnp.float32)
-                + b1_ref[0].astype(jnp.float32)
-            )
-            h1_new, c1_new = cell(gates1, c1[:])
-            h1[:] = h1_new.astype(h1.dtype)
-            c1[:] = c1_new.astype(c1.dtype)
+            for s in range(sub_tiles):
+                rows = pl.ds(s * sub, sub)
+                gates1 = (
+                    jnp.dot(x_ref[k, rows, :], w1_ref[:], preferred_element_type=jnp.float32)
+                    + jnp.dot(h1[rows, :].astype(mm), u1_ref[:], preferred_element_type=jnp.float32)
+                    + b1_ref[0].astype(jnp.float32)
+                )
+                h1_new, c1_new = cell(gates1, c1[rows, :])
+                h1[rows, :] = h1_new.astype(h1.dtype)
+                c1[rows, :] = c1_new.astype(c1.dtype)
 
-            # Layer 2: fresh h1 feeds straight in — no second sweep over T.
-            gates2 = (
-                jnp.dot(h1[:].astype(mm), w2_ref[:], preferred_element_type=jnp.float32)
-                + jnp.dot(h2[:].astype(mm), u2_ref[:], preferred_element_type=jnp.float32)
-                + b2_ref[0].astype(jnp.float32)
-            )
-            h2_new, c2_new = cell(gates2, c2[:])
-            h2[:] = h2_new.astype(h2.dtype)
-            c2[:] = c2_new.astype(c2.dtype)
-            out_ref[k] = h2[:].astype(out_ref.dtype)
+                # Layer 2: fresh h1 feeds straight in — no second sweep over T.
+                gates2 = (
+                    jnp.dot(h1_new.astype(mm), w2_ref[:], preferred_element_type=jnp.float32)
+                    + jnp.dot(h2[rows, :].astype(mm), u2_ref[:], preferred_element_type=jnp.float32)
+                    + b2_ref[0].astype(jnp.float32)
+                )
+                h2_new, c2_new = cell(gates2, c2[rows, :])
+                h2[rows, :] = h2_new.astype(h2.dtype)
+                c2[rows, :] = c2_new.astype(c2.dtype)
+                out_ref[k, rows, :] = h2_new.astype(out_ref.dtype)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "steps_per_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "steps_per_block", "sub_tiles", "interpret"))
 def stacked_lstm2(params, x, *, tile_n: int = 256, steps_per_block: int = 1,
-                  interpret: bool = False):
+                  sub_tiles: int = 1, interpret: bool = False):
     """2-layer LSTM forward via the fused kernel.
 
     params: nn/lstm.py layout ({"layers": [{w_ih, w_hh, b_ih, b_hh} x2]}).
@@ -126,7 +133,7 @@ def stacked_lstm2(params, x, *, tile_n: int = 256, steps_per_block: int = 1,
     )
     grid = (n_total // tile_n, t_total // steps_per_block)
     out = pl.pallas_call(
-        _make_kernel(steps_per_block),
+        _make_kernel(steps_per_block, sub_tiles),
         grid=grid,
         in_specs=[
             pl.BlockSpec((steps_per_block, tile_n, d_total), lambda i, s: (s, i, 0),

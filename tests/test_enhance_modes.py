@@ -1,0 +1,118 @@
+"""Enhancer mode coverage: every reference inference mode runs end-to-end
+(waveform in -> waveform out, finite, right shape). Modes that target model
+families the shipped configs don't include (mag / scaled_mask / sub-band-only
+/ time_domain) are driven with stub model definitions of the right signature
+— this validates the Enhancer's DSP plumbing exactly as the reference
+dispatches arbitrary configured models (base_inferencer.py:134-136).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fullsubnet_plus_tpu.enhance import Enhancer
+from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS, FULLSUBNET, ModelDef
+from fullsubnet_plus_tpu.models.fullsubnet import FullSubNetConfig
+from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+
+ACOUSTICS = dict(n_fft=64, hop_length=32, win_length=64)
+SMALL_PLUS = FullSubNetPlusConfig(
+    num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=16, sb_model_hidden_size=16
+)
+SMALL_BASE = FullSubNetConfig(
+    num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=16, sb_model_hidden_size=16
+)
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    rng = np.random.default_rng(0)
+    return (0.1 * rng.standard_normal((2, 4000))).astype(np.float32)
+
+
+def test_mag_complex_full_band_crm_mask(noisy):
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    e = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params, **ACOUSTICS)
+    out = e.enhance_batch(noisy)
+    assert out.shape == noisy.shape and np.isfinite(out).all()
+    single = e.enhance(noisy[0])
+    assert single.shape == (4000,)
+    assert np.max(np.abs(single)) <= 0.8 + 1e-5  # 0.8-peak rescale
+
+
+def test_full_band_and_complex_modes(noisy):
+    params = FULLSUBNET.init(jax.random.PRNGKey(0), SMALL_BASE)
+    for mode in ("full_band_crm_mask",):
+        e = Enhancer(FULLSUBNET, SMALL_BASE, params, inference_type=mode, **ACOUSTICS)
+        out = e.enhance_batch(noisy)
+        assert out.shape == noisy.shape and np.isfinite(out).all()
+
+
+def _stub_model(apply_fn, n_inputs=1):
+    return ModelDef("stub", type(None), lambda *a, **k: {}, apply_fn, n_inputs)
+
+
+def test_mag_mode(noisy):
+    """Model returns enhanced magnitude [B, 1, F, T]."""
+
+    def apply_fn(params, mag, config, training=False):
+        return mag * 0.5
+
+    e = Enhancer(_stub_model(apply_fn), None, {}, inference_type="mag", **ACOUSTICS)
+    out = e.enhance_batch(noisy)
+    assert out.shape == noisy.shape and np.isfinite(out).all()
+    # halving the magnitude roughly halves the signal
+    assert 0.3 < np.std(out) / np.std(noisy) < 0.7
+
+
+def test_scaled_mask_mode(noisy):
+    def apply_fn(params, mag, config, training=False):
+        return jnp.concatenate([jnp.ones_like(mag), jnp.zeros_like(mag)], axis=1)
+
+    e = Enhancer(_stub_model(apply_fn), None, {}, inference_type="scaled_mask", **ACOUSTICS)
+    out = e.enhance_batch(noisy)
+    # identity mask -> iSTFT(STFT(x)) ~= x
+    np.testing.assert_allclose(out, noisy, atol=1e-3)
+
+
+def test_sub_band_crm_mask_mode(noisy):
+    """Sub-band-only model: [B*F, W, T] folded input -> [B*F, 2, T] cIRM."""
+
+    def apply_fn(params, folded, config, training=False):
+        n, _, t = folded.shape
+        # compressed cIRM ~ compress(1+0j): real->10*(1-e^-.1)/(1+e^-.1), imag->0
+        real = jnp.full((n, 1, t), 0.4995837)
+        imag = jnp.zeros((n, 1, t))
+        return jnp.concatenate([real, imag], axis=1)
+
+    e = Enhancer(
+        _stub_model(apply_fn), None, {}, inference_type="sub_band_crm_mask",
+        n_neighbor=4, **ACOUSTICS,
+    )
+    out = e.enhance_batch(noisy)
+    # mask ~= 1+0j -> near-identity
+    np.testing.assert_allclose(out, noisy, atol=1e-2)
+
+
+def test_time_domain_mode(noisy):
+    def apply_fn(params, wav, config, training=False):
+        return wav * 0.5
+
+    e = Enhancer(_stub_model(apply_fn), None, {}, inference_type="time_domain", **ACOUSTICS)
+    out = e.enhance_batch(noisy)
+    np.testing.assert_allclose(out, noisy * 0.5, atol=1e-6)
+
+
+def test_overlapped_chunk_mode(noisy):
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    e = Enhancer(
+        FULLSUBNET_PLUS, SMALL_PLUS, params,
+        inference_type="overlapped_chunk", sr=16000, **ACOUSTICS,
+    )
+    long_noisy = np.tile(noisy[0], 3)[None]  # 0.75 s
+    out = np.asarray(e.overlapped_chunk(long_noisy, chunk_seconds=1))
+    assert out.shape[-1] == long_noisy.shape[-1]
+    assert np.isfinite(out).all()

@@ -20,6 +20,16 @@ def test_pallas_matches_scan(rng, n, t, d, h, tile):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+def test_pallas_sub_tiles(rng):
+    params = lstm_init(jax.random.PRNGKey(2), 34, 64, 2)
+    x = (rng.standard_normal((64, 13, 34)) * 0.5).astype(np.float32)
+    ref, _ = lstm_apply(params, jnp.asarray(x))
+    out = stacked_lstm2(
+        params, jnp.asarray(x), tile_n=64, sub_tiles=2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
 def test_pallas_steps_per_block(rng):
     params = lstm_init(jax.random.PRNGKey(1), 16, 32, 2)
     x = (rng.standard_normal((40, 11, 16)) * 0.5).astype(np.float32)  # 11 % 4 != 0
