@@ -198,6 +198,103 @@ def test_train_step_bf16_and_remat(rng):
     np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.1)
 
 
+def _toy_views(rng, B=4, L=4096):
+    noisy = rng.standard_normal((B, L)).astype(np.float32) * 0.1
+    clean = (noisy + 0.05 * rng.standard_normal((B, L))).astype(np.float32)
+    return noisy, clean
+
+
+def _torch_stft64(x):
+    win = torch.hann_window(64)
+    return torch.stft(torch.from_numpy(x), 64, 32, 64, window=win, return_complex=True)
+
+
+def test_joint_mask_step_loss_parity(ref_setup, rng):
+    """make_joint_mask_train_step reproduces the reference `Trainer` loss
+    (fullsubnet_plus/trainer/trainer.py:42-56): α·MSE(cIRM, cRM) +
+    (1-α)·MSE(IRM, RM), cIRM target drop_band'd, IRM target full-band.
+
+    Uses a closed-form toy forward (same math in torch and jax) so the test
+    pins the step's target construction and blend, not a model."""
+    from fullsubnet_plus_tpu.dsp.unfold import drop_band as jdrop
+    from fullsubnet_plus_tpu.train.step import make_joint_mask_train_step
+
+    _, build_cirm, torch_drop_band = ref_setup
+    import sys
+    sys.path.insert(0, "/root/reference/speech_enhance")
+    from audio_zen.acoustics.mask import build_ideal_ratio_mask as t_birm
+
+    alpha, w0, groups = 0.7, 0.3, 2
+    noisy, clean = _toy_views(rng)
+
+    # -- reference math in torch --------------------------------------------
+    tn_c, tc_c = _torch_stft64(noisy), _torch_stft64(clean)
+    gt_irm = t_birm(tn_c.abs(), tc_c.abs())  # [B, F, T, 1]
+    gt_cirm = torch_drop_band(
+        build_cirm(tn_c, tc_c).permute(0, 3, 1, 2), groups
+    ).permute(0, 2, 3, 1)
+    rm_t = torch.sigmoid(w0 * tn_c.abs()).unsqueeze(1)  # [B, 1, F, T]
+    crm_t = torch_drop_band(
+        torch.tanh(w0 * torch.stack([tn_c.real, tn_c.imag], dim=1)), groups
+    )
+    ref_loss = (
+        alpha * torch.nn.functional.mse_loss(gt_cirm, crm_t.permute(0, 2, 3, 1))
+        + (1 - alpha)
+        * torch.nn.functional.mse_loss(gt_irm, rm_t.permute(0, 2, 3, 1))
+    ).item()
+
+    # -- our step -------------------------------------------------------------
+    def forward_fn(params, mag, real, imag):
+        rm = jax.nn.sigmoid(params["w"] * mag)[:, None]
+        crm = jdrop(jnp.tanh(params["w"] * jnp.stack([real, imag], axis=1)), groups)
+        return rm, crm
+
+    optimizer = make_optimizer()
+    params = {"w": jnp.asarray(w0)}
+    state = init_train_state(params, optimizer)
+    step = make_joint_mask_train_step(
+        forward_fn, optimizer, mse_loss, alpha=alpha, num_groups=groups,
+        n_fft=64, hop_length=32, win_length=64,
+    )
+    _, metrics = step(state, noisy, clean)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-4)
+
+
+def test_residual_step_loss_parity(ref_setup, rng):
+    """make_residual_train_step reproduces the reference `Residual_Trainer`
+    loss (trainer.py:188-209): α·MSE(clean complex, enhanced complex) +
+    (1-α)·MSE(cIRM, cIRM̂), no drop_band on either target."""
+    from fullsubnet_plus_tpu.train.step import make_residual_train_step
+
+    _, build_cirm, _ = ref_setup
+    alpha, w0 = 0.6, 0.25
+    noisy, clean = _toy_views(rng)
+
+    tn_c, tc_c = _torch_stft64(noisy), _torch_stft64(clean)
+    gt_cirm = build_cirm(tn_c, tc_c)  # [B, F, T, 2]
+    gt_complex = torch.stack([tc_c.real, tc_c.imag], dim=1).permute(0, 2, 3, 1)
+    stacked = torch.stack([tn_c.real, tn_c.imag], dim=1)
+    cirm_t = torch.tanh(w0 * stacked).permute(0, 2, 3, 1)
+    enhanced_t = (w0 * stacked).permute(0, 2, 3, 1)
+    ref_loss = (
+        alpha * torch.nn.functional.mse_loss(gt_complex, enhanced_t)
+        + (1 - alpha) * torch.nn.functional.mse_loss(gt_cirm, cirm_t)
+    ).item()
+
+    def forward_fn(params, mag, real, imag):
+        stacked = jnp.stack([real, imag], axis=1)
+        return jnp.tanh(params["w"] * stacked), params["w"] * stacked
+
+    optimizer = make_optimizer()
+    state = init_train_state({"w": jnp.asarray(w0)}, optimizer)
+    step = make_residual_train_step(
+        forward_fn, optimizer, mse_loss, alpha=alpha,
+        n_fft=64, hop_length=32, win_length=64,
+    )
+    _, metrics = step(state, noisy, clean)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-4)
+
+
 def test_eval_step_runs(rng):
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0))
     eval_step = make_eval_step(FULLSUBNET_PLUS, CFG, mse_loss)
