@@ -21,16 +21,40 @@ from fullsubnet_plus_tpu.nn.init import conv1d_init
 
 
 def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias=None, *, dilation=1, padding=0, groups=1):
-    """torch.nn.functional.conv1d semantics. x [B, C, T], weight [O, I/g, K]."""
-    out = jax.lax.conv_general_dilated(
-        x,
-        weight,
-        window_strides=(1,),
-        padding=[(padding, padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=groups,
-    )
+    """torch.nn.functional.conv1d semantics. x [B, C, T], weight [O, I/g, K].
+
+    TPU-first lowering: XLA's grouped-conv path is catastrophically slow for
+    the many-group shapes this model uses (depthwise convs with 257/512
+    groups in MulCA/TCN), so the two hot cases take explicit forms instead:
+      * depthwise (groups == C_in == C_out): K shifted multiply-adds — pure
+        VPU streaming, one pass over x per tap;
+      * 1x1 dense (K == 1, groups == 1): a single [C_in -> C_out] einsum that
+        maps straight onto the MXU.
+    The general case keeps lax.conv_general_dilated.
+    """
+    out_c, in_per_group, k = weight.shape
+    in_c = x.shape[1]
+    if groups == in_c and out_c == in_c and in_per_group == 1:
+        # depthwise: y[b,c,t] = sum_k w[c,k] * xp[b,c,t + k*dilation]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+        t_out = xp.shape[-1] - dilation * (k - 1)
+        out = weight[None, :, 0, 0, None] * xp[:, :, :t_out]
+        for tap in range(1, k):
+            out = out + weight[None, :, 0, tap, None] * xp[
+                :, :, tap * dilation : tap * dilation + t_out
+            ]
+    elif k == 1 and groups == 1 and dilation == 1 and padding == 0:
+        out = jnp.einsum("bct,oc->bot", x, weight[:, :, 0])
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            weight,
+            window_strides=(1,),
+            padding=[(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups,
+        )
     if bias is not None:
         out = out + bias[None, :, None]
     return out
