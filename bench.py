@@ -13,6 +13,13 @@ audio-s/s on the author's unstated hardware). BASELINE.json's target is
 vs_baseline against 8 × 2.83 = 22.6 audio-s/s — i.e. vs_baseline ≥ 1 means
 the per-chip target against the only measurable reference datapoint is met.
 
+Default config is the TPU serving configuration: batch 64, bfloat16 model
+compute with fp32 STFT/cIRM/iSTFT math (tests pin the bf16 waveform to
+>20 dB agreement with fp32 — tests/test_enhance_modes.py). Measured on
+v5e: bf16 batch-64 ≈1928, bf16 batch-32 ≈1755, fp32 batch-32 ≈1459
+audio-s/s/chip (fp32 batch-64 exceeds HBM). `--dtype float32 --batch 32`
+reproduces the fp32 number.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -25,11 +32,11 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
     args = parser.parse_args()

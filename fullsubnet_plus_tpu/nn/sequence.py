@@ -114,7 +114,12 @@ def sequence_model_apply(
             ):
                 from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2
 
-                o = stacked_lstm2(params["seq"], xt)
+                # Output Linear fused into the kernel: avoids materializing
+                # the [N, T, H] hidden sequence in HBM (docs/PERFORMANCE.md).
+                o = stacked_lstm2(params["seq"], xt, params["fc_output_layer"])
+                if output_activate_function:
+                    o = _ACTIVATIONS[output_activate_function](o)
+                return jnp.swapaxes(o, 1, 2)
             else:
                 o, _ = lstm_apply(params["seq"], xt)
         else:

@@ -43,6 +43,20 @@ def test_mag_complex_full_band_crm_mask(noisy):
     assert np.max(np.abs(single)) <= 0.8 + 1e-5  # 0.8-peak rescale
 
 
+def test_bfloat16_enhance_close_to_fp32(noisy):
+    """compute_dtype=bfloat16 (the TPU fast path) stays close to the fp32
+    waveform: agreement SDR > 20 dB on the small model."""
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    ref = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params, **ACOUSTICS).enhance_batch(noisy)
+    out = Enhancer(
+        FULLSUBNET_PLUS, SMALL_PLUS, params, compute_dtype="bfloat16", **ACOUSTICS
+    ).enhance_batch(noisy)
+    err = ref - out
+    sdr = 10 * np.log10((ref**2).sum() / ((err**2).sum() + 1e-20))
+    assert np.isfinite(out).all()
+    assert sdr > 20.0, f"bf16 path diverged from fp32: agreement SDR {sdr:.1f} dB"
+
+
 def test_full_band_and_complex_modes(noisy):
     params = FULLSUBNET.init(jax.random.PRNGKey(0), SMALL_BASE)
     for mode in ("full_band_crm_mask",):
