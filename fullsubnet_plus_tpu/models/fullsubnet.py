@@ -84,7 +84,7 @@ def apply(
         fb_input,
         sequence_model=config.sequence_model,
         output_activate_function=config.fb_output_activate_function,
-        fast=not training,
+        fast=True,  # Pallas kernel on TPU; custom VJP covers training
     ).reshape(batch_size, 1, num_freqs, num_frames)
 
     fb_w = config.fb_num_neighbors * 2 + 1
@@ -110,7 +110,7 @@ def apply(
         sb_input,
         sequence_model=config.sequence_model,
         output_activate_function=config.sb_output_activate_function,
-        fast=not training,
+        fast=True,  # Pallas kernel on TPU; custom VJP covers training
     )
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, 2, num_frames), (0, 2, 1, 3)

@@ -231,7 +231,10 @@ def apply(
         sb_input,
         sequence_model=config.sequence_model,
         output_activate_function=config.sb_output_activate_function,
-        fast=not training,  # fused Pallas LSTM on TPU at inference
+        # Fused Pallas LSTM on TPU; its custom VJP covers training too. A
+        # sharded fold keeps the scan path (pallas_call is opaque to GSPMD,
+        # so it would force a gather of the folded batch under pjit).
+        fast=not training or config.fold_sharding is None,
     )  # [B*F, 2, T]
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),

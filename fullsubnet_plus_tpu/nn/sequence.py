@@ -92,9 +92,10 @@ def sequence_model_apply(
 ) -> jnp.ndarray:
     """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
 
-    `fast=True` (inference) routes 2-layer unidirectional LSTMs through the
-    fused Pallas kernel on TPU backends (ops/lstm_pallas.py); training and
-    CPU keep the differentiable lax.scan path.
+    `fast=True` routes 2-layer unidirectional LSTMs through the fused Pallas
+    kernel on TPU backends (ops/lstm_pallas.py) — for inference AND training:
+    the kernel carries a custom VJP (reverse-sweep backward kernel), so
+    jax.grad through this path stays fused. CPU keeps the lax.scan path.
     """
     assert x.ndim == 3
     if sequence_model in ("TCN", "TCN-subband"):
@@ -112,11 +113,13 @@ def sequence_model_apply(
                 and len(params["seq"]["layers"]) == 2
                 and _tpu_backend()
             ):
-                from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2
+                from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train
 
                 # Output Linear fused into the kernel: avoids materializing
                 # the [N, T, H] hidden sequence in HBM (docs/PERFORMANCE.md).
-                o = stacked_lstm2(params["seq"], xt, params["fc_output_layer"])
+                # The _train wrapper has the same primal; under jax.grad its
+                # custom VJP keeps the backward fused too.
+                o = stacked_lstm2_train(params["seq"], xt, params["fc_output_layer"])
                 if output_activate_function:
                     o = _ACTIVATIONS[output_activate_function](o)
                 return jnp.swapaxes(o, 1, 2)

@@ -32,8 +32,19 @@ replaces the per-layer lax.scan with ONE sequential sweep:
     dtype; carried state stays fp32 in VMEM and is cast to the weight dtype
     per step so bf16 weights get true-bf16 MXU rate.
 
-Gate order i, f, g, o (torch-compatible, see nn/lstm.py). Inference-only
-(no VJP; training uses the lax.scan path, which autodiff handles).
+Gate order i, f, g, o (torch-compatible, see nn/lstm.py).
+
+Training support (`stacked_lstm2_train`) is a jax.custom_vjp around the same
+forward: the VJP forward runs a residual-saving variant of the kernel (gate
+activations + h/c sequences written to HBM alongside the output), and the
+backward is a second Pallas kernel sweeping T in REVERSE with only the
+sequential work inside — per step, the cell backward (VPU) plus ONE matmul
+per layer (dgates @ [W;U]ᵀ, which yields d(input) and the dh carry
+together). All O(T·N·D·H) weight-gradient contractions (dW = x/hᵀ·dgates,
+dfc = h₂ᵀ·dy) happen OUTSIDE the kernel as whole-sequence XLA einsums on
+the MXU — they have no sequential dependency, and keeping them out keeps
+the backward kernel's VMEM footprint (weights + transposes + carried state)
+under the ~16 MB budget.
 """
 
 from __future__ import annotations
@@ -47,6 +58,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 SUBLANE = 8
+
+
+def _combined_weights(params, dtype, d_pad):
+    """[W;U] per layer with the layer-1 input rows lane-padded, biases summed."""
+    l1, l2 = params["layers"]
+    w1 = jnp.concatenate(
+        [jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0))),
+         l1["w_hh"].astype(dtype)], axis=0
+    )  # [Dp + H, 4H]
+    b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(dtype)
+    w2 = jnp.concatenate(
+        [l2["w_ih"].astype(dtype), l2["w_hh"].astype(dtype)], axis=0
+    )  # [2H, 4H]
+    b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(dtype)
+    return w1, b1, w2, b2
 
 
 def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool):
@@ -155,15 +181,7 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
     d_total = d + d_pad
     t_total = t + t_pad
 
-    w1 = jnp.concatenate(
-        [jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0))),
-         l1["w_hh"].astype(dtype)], axis=0
-    )  # [Dp + H, 4H]
-    b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(dtype)
-    w2 = jnp.concatenate(
-        [l2["w_ih"].astype(dtype), l2["w_hh"].astype(dtype)], axis=0
-    )  # [2H, 4H]
-    b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(dtype)
+    w1, b1, w2, b2 = _combined_weights(params, dtype, d_pad)
 
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -211,3 +229,326 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
         interpret=interpret,
     )(*args)
     return jnp.swapaxes(out[:t], 0, 1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Training: custom-VJP wrapper (see module docstring). The reference trains
+# this LSTM through PyTorch autograd (cuDNN backward); here the backward is
+# a hand-written reverse-sweep kernel so the training step gets the same
+# fused-kernel throughput as inference instead of falling back to lax.scan.
+# ---------------------------------------------------------------------------
+
+
+def _gate_slices(gates, hidden):
+    return (
+        gates[:, :hidden],
+        gates[:, hidden : 2 * hidden],
+        gates[:, 2 * hidden : 3 * hidden],
+        gates[:, 3 * hidden :],
+    )
+
+
+def _residual_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, fcw_ref, fcb_ref,
+    out_ref, g1_ref, c1o_ref, h1o_ref, g2_ref, c2o_ref, h2o_ref,
+    h1, c1, h2, c2,
+):
+    """Forward sweep that also streams gate activations and h/c to HBM."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h1[:] = jnp.zeros_like(h1)
+        c1[:] = jnp.zeros_like(c1)
+        h2[:] = jnp.zeros_like(h2)
+        c2[:] = jnp.zeros_like(c2)
+
+    hidden = h1.shape[-1]
+    mm = w1_ref.dtype
+
+    def cell(gates, c_prev):
+        i, f, g, o = _gate_slices(gates, hidden)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c_prev + i * g
+        h_new = o * jnp.tanh(c_new)
+        return jnp.concatenate([i, f, g, o], axis=-1), h_new, c_new
+
+    gates1 = (
+        jnp.dot(
+            jnp.concatenate([x_ref[0], h1[:].astype(mm)], axis=-1),
+            w1_ref[:], preferred_element_type=jnp.float32,
+        )
+        + b1_ref[0].astype(jnp.float32)
+    )
+    acts1, h1_new, c1_new = cell(gates1, c1[:])
+    g1_ref[0] = acts1.astype(g1_ref.dtype)
+    c1o_ref[0] = c1_new.astype(c1o_ref.dtype)
+    h1o_ref[0] = h1_new.astype(h1o_ref.dtype)
+    h1[:] = h1_new
+    c1[:] = c1_new
+
+    gates2 = (
+        jnp.dot(
+            jnp.concatenate([h1_new.astype(mm), h2[:].astype(mm)], axis=-1),
+            w2_ref[:], preferred_element_type=jnp.float32,
+        )
+        + b2_ref[0].astype(jnp.float32)
+    )
+    acts2, h2_new, c2_new = cell(gates2, c2[:])
+    g2_ref[0] = acts2.astype(g2_ref.dtype)
+    c2o_ref[0] = c2_new.astype(c2o_ref.dtype)
+    h2o_ref[0] = h2_new.astype(h2o_ref.dtype)
+    h2[:] = h2_new
+    c2[:] = c2_new
+
+    y = jnp.dot(
+        h2_new.astype(mm), fcw_ref[:], preferred_element_type=jnp.float32
+    ) + fcb_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _make_bwd_kernel(t_steps: int, d_total: int):
+    def _kernel(
+        dy_ref, g1_ref, c1_ref, c1p_ref, g2_ref, c2_ref, c2p_ref,
+        fcwt_ref, w2t_ref, w1t_ref,
+        dg1_ref, dg2_ref, dx_ref,
+        dh1, dc1, dh2, dc2,
+    ):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            dh1[:] = jnp.zeros_like(dh1)
+            dc1[:] = jnp.zeros_like(dc1)
+            dh2[:] = jnp.zeros_like(dh2)
+            dc2[:] = jnp.zeros_like(dc2)
+
+        hidden = dh1.shape[-1]
+        mm = w1t_ref.dtype
+        # Grid step s processes timestep t = T-1-s; at t == 0 the "previous"
+        # cell state is the zero initial state (the shifted block ref is
+        # clamped to block 0 by its index map, so mask it here).
+        at_t0 = (t_steps - 1 - s) == 0
+
+        def cell_bwd(dh, g_ref, c_ref, cp_ref, dc_carry):
+            i, f, g, o = _gate_slices(g_ref[0].astype(jnp.float32), hidden)
+            tanh_c = jnp.tanh(c_ref[0].astype(jnp.float32))
+            do = dh * tanh_c
+            dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_carry
+            c_prev = jnp.where(at_t0, 0.0, cp_ref[0].astype(jnp.float32))
+            di, dg, df = dc * g, dc * i, dc * c_prev
+            dgates = jnp.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )
+            return dgates, dc * f
+
+        # Layer 2 backward (fc backward fused: dh2 += dy @ fcWᵀ).
+        dh2_t = jnp.dot(
+            dy_ref[0].astype(mm), fcwt_ref[:], preferred_element_type=jnp.float32
+        ) + dh2[:]
+        dgates2, dc2_new = cell_bwd(dh2_t, g2_ref, c2_ref, c2p_ref, dc2[:])
+        dc2[:] = dc2_new
+        dg2_ref[0] = dgates2.astype(dg2_ref.dtype)
+        # One matmul yields d(h1_t) and d(h2_{t-1}) together: layer 2's step
+        # input was [h1_t | h2_{t-1}] @ [W2;U2].
+        dinp2 = jnp.dot(
+            dgates2.astype(mm), w2t_ref[:], preferred_element_type=jnp.float32
+        )  # [tile, 2H]
+
+        # Layer 1 backward.
+        dh1_t = dinp2[:, :hidden] + dh1[:]
+        dh2[:] = dinp2[:, hidden:]
+        dgates1, dc1_new = cell_bwd(dh1_t, g1_ref, c1_ref, c1p_ref, dc1[:])
+        dc1[:] = dc1_new
+        dg1_ref[0] = dgates1.astype(dg1_ref.dtype)
+        dinp1 = jnp.dot(
+            dgates1.astype(mm), w1t_ref[:], preferred_element_type=jnp.float32
+        )  # [tile, Dp + H]
+        dx_ref[0] = dinp1[:, :d_total].astype(dx_ref.dtype)
+        dh1[:] = dinp1[:, d_total:]
+
+    return _kernel
+
+
+def _eff_tile(n: int, dtype, tile_n: int) -> int:
+    # fp32 residual blocks double every buffer; halve the row tile to stay
+    # inside the ~16 MB VMEM budget (both fwd and bwd derive the tile with
+    # this same rule so the padded row count always agrees).
+    if jnp.dtype(dtype) == jnp.float32:
+        tile_n = min(tile_n, 128)
+    return min(tile_n, max(SUBLANE, -(-n // SUBLANE) * SUBLANE))
+
+
+def stacked_lstm2_train(params, x, fc, tile_n: int = 256, interpret: bool = False):
+    """Differentiable fused 2-layer LSTM + output projection.
+
+    Same primal as `stacked_lstm2(params, x, fc)`; under jax.grad the
+    residual-saving forward and the reverse-sweep backward kernels run
+    instead of autodiff-of-scan. fc is required (the sub-band model always
+    projects; fullsubnet_plus.py:205 / sequence_model.py:113-123).
+    """
+    return _stacked_lstm2_train(params, x, fc, tile_n, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _stacked_lstm2_train(params, x, fc, tile_n, interpret):
+    return stacked_lstm2(params, x, fc, tile_n=tile_n, interpret=interpret)
+
+
+def _train_fwd(params, x, fc, tile_n, interpret):
+    n, t, d = x.shape
+    l1, _ = params["layers"]
+    hidden = l1["w_hh"].shape[0]
+    dtype = x.dtype
+    tile = _eff_tile(n, dtype, tile_n)
+    d_pad = -d % LANE
+    n_pad = -n % tile
+    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, d_pad)))
+    n_total, d_total = n + n_pad, d + d_pad
+    out_dim = fc["weight"].shape[-1]
+
+    w1, b1, w2, b2 = _combined_weights(params, dtype, d_pad)
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    block = lambda width: pl.BlockSpec(
+        (1, tile, width), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM
+    )
+    seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
+    out, g1, c1, h1, g2, c2, h2 = pl.pallas_call(
+        _residual_kernel,
+        grid=(n_total // tile, t),
+        in_specs=[
+            block(d_total),
+            resident((d_total + hidden, 4 * hidden)),
+            resident((1, 4 * hidden)),
+            resident((2 * hidden, 4 * hidden)),
+            resident((1, 4 * hidden)),
+            resident((hidden, out_dim)),
+            resident((1, out_dim)),
+        ],
+        out_specs=(
+            block(out_dim),
+            block(4 * hidden), block(hidden), block(hidden),
+            block(4 * hidden), block(hidden), block(hidden),
+        ),
+        out_shape=(
+            seq_out(out_dim),
+            seq_out(4 * hidden), seq_out(hidden), seq_out(hidden),
+            seq_out(4 * hidden), seq_out(hidden), seq_out(hidden),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_total * t * (d_total + 3 * hidden + out_dim) * 4 * hidden,
+            bytes_accessed=n_total * t * (d_total + 12 * hidden + out_dim)
+            * x.dtype.itemsize,
+            transcendentals=n_total * t * 10 * hidden,
+        ),
+        interpret=interpret,
+    )(
+        x_tm, w1, b1, w2, b2,
+        fc["weight"].astype(dtype), fc["bias"].reshape(1, -1).astype(dtype),
+    )
+    primal = jnp.swapaxes(out, 0, 1)[:n]
+    return primal, (params, x, fc, g1, c1, h1, g2, c2, h2)
+
+
+def _train_bwd(tile_n, interpret, residuals, dy):
+    params, x, fc, g1, c1, h1, g2, c2, h2 = residuals
+    n, t, d = x.shape
+    l1, l2 = params["layers"]
+    hidden = l1["w_hh"].shape[0]
+    dtype = x.dtype
+    tile = _eff_tile(n, dtype, tile_n)
+    d_pad = -d % LANE
+    n_pad = -n % tile
+    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, d_pad)))
+    n_total, d_total = n + n_pad, d + d_pad
+    out_dim = fc["weight"].shape[-1]
+    dy_tm = jnp.pad(
+        jnp.swapaxes(dy.astype(dtype), 0, 1), ((0, 0), (0, n_pad), (0, 0))
+    )
+
+    w1, _, w2, _ = _combined_weights(params, dtype, d_pad)
+    fcwt = jnp.swapaxes(fc["weight"].astype(dtype), 0, 1)  # [O, H]
+    w1t = jnp.swapaxes(w1, 0, 1)  # [4H, Dp + H]
+    w2t = jnp.swapaxes(w2, 0, 1)  # [4H, 2H]
+
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    rev = lambda width: pl.BlockSpec(
+        (1, tile, width), lambda i, s: (t - 1 - s, i, 0), memory_space=pltpu.VMEM
+    )
+    prev = lambda width: pl.BlockSpec(
+        (1, tile, width),
+        lambda i, s: (jnp.maximum(t - 2 - s, 0), i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
+    dg1, dg2, dx_tm = pl.pallas_call(
+        _make_bwd_kernel(t, d_total),
+        grid=(n_total // tile, t),
+        in_specs=[
+            rev(out_dim),
+            rev(4 * hidden), rev(hidden), prev(hidden),
+            rev(4 * hidden), rev(hidden), prev(hidden),
+            resident((out_dim, hidden)),
+            resident((4 * hidden, 2 * hidden)),
+            resident((4 * hidden, d_total + hidden)),
+        ],
+        out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d_total)),
+        out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d_total)),
+        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_total * t * (3 * hidden + d_total + out_dim) * 4 * hidden,
+            bytes_accessed=n_total * t * (20 * hidden + d_total + out_dim)
+            * x.dtype.itemsize,
+            transcendentals=n_total * t * 2 * hidden,
+        ),
+        interpret=interpret,
+    )(dy_tm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
+
+    # Weight gradients: whole-sequence contractions, no recurrence — plain
+    # XLA einsums on the MXU. h_prev sequences are the saved h shifted by one
+    # step (zero initial state). Padded rows contribute nothing (their
+    # dgates/dy are zero).
+    f32 = jnp.float32
+    h1p = jnp.concatenate([jnp.zeros_like(h1[:1]), h1[:-1]], axis=0)
+    h2p = jnp.concatenate([jnp.zeros_like(h2[:1]), h2[:-1]], axis=0)
+    ein = functools.partial(jnp.einsum, preferred_element_type=f32)
+    db1 = ein("tng->g", dg1)
+    db2 = ein("tng->g", dg2)
+    cast = lambda g, ref: g.astype(ref.dtype)
+    dparams = {
+        "layers": [
+            {
+                "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1)[:d], l1["w_ih"]),
+                "w_hh": cast(ein("tnh,tng->hg", h1p, dg1), l1["w_hh"]),
+                "b_ih": cast(db1, l1["b_ih"]),
+                "b_hh": cast(db1, l1["b_hh"]),
+            },
+            {
+                "w_ih": cast(ein("tnh,tng->hg", h1, dg2), l2["w_ih"]),
+                "w_hh": cast(ein("tnh,tng->hg", h2p, dg2), l2["w_hh"]),
+                "b_ih": cast(db2, l2["b_ih"]),
+                "b_hh": cast(db2, l2["b_hh"]),
+            },
+        ]
+    }
+    dfc = {
+        "weight": cast(ein("tnh,tno->ho", h2, dy_tm), fc["weight"]),
+        "bias": cast(ein("tno->o", dy_tm), fc["bias"]),
+    }
+    dx = cast(jnp.swapaxes(dx_tm, 0, 1)[:n, :, :d], x)
+    return dparams, dx, dfc
+
+
+_stacked_lstm2_train.defvjp(_train_fwd, _train_bwd)

@@ -44,6 +44,48 @@ def test_pallas_small_fold_tile_shrink(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n,t,d,h,o,tile", [(20, 9, 10, 16, 3, 256), (100, 17, 34, 64, 2, 64)])
+def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
+    """Custom-VJP (residual fwd kernel + reverse-sweep bwd kernel) gradient
+    parity vs jax.grad through the lax.scan path, for every param tensor,
+    the input, and the fused fc."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train
+
+    params = lstm_init(jax.random.PRNGKey(6), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(7), h, o)
+    x = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    # Fixed cotangent seed so the loss exercises every output element.
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+
+    def loss_scan(params, x, fc):
+        hid, _ = lstm_apply(params, x)
+        return jnp.sum((hid @ fc["weight"] + fc["bias"]) * dy)
+
+    def loss_pallas(params, x, fc):
+        return jnp.sum(stacked_lstm2_train(params, x, fc, tile, True) * dy)
+
+    with jax.default_matmul_precision("highest"):
+        v0, g0 = jax.value_and_grad(loss_scan, argnums=(0, 1, 2))(params, x, fc)
+        v1, g1 = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(params, x, fc)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_train_primal_matches_inference_kernel(rng):
+    """stacked_lstm2_train's primal is exactly stacked_lstm2 (no VJP tax)."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train
+
+    params = lstm_init(jax.random.PRNGKey(8), 12, 32, 2)
+    fc = linear_init(jax.random.PRNGKey(9), 32, 2)
+    x = jnp.asarray((rng.standard_normal((24, 7, 12)) * 0.5).astype(np.float32))
+    a = stacked_lstm2(params, x, fc, tile_n=32, interpret=True)
+    b = stacked_lstm2_train(params, x, fc, 32, True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0, rtol=0)
+
+
 def test_pallas_sub_tiles(rng):
     params = lstm_init(jax.random.PRNGKey(2), 34, 64, 2)
     x = (rng.standard_normal((64, 13, 34)) * 0.5).astype(np.float32)
