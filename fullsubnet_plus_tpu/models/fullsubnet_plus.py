@@ -232,9 +232,10 @@ def apply(
         sequence_model=config.sequence_model,
         output_activate_function=config.sb_output_activate_function,
         # Fused Pallas LSTM on TPU; its custom VJP covers training too. A
-        # sharded fold keeps the scan path (pallas_call is opaque to GSPMD,
-        # so it would force a gather of the folded batch under pjit).
-        fast=not training or config.fold_sharding is None,
+        # sharded fold runs the kernel under shard_map (each chip sweeps its
+        # own fold rows — pallas_call alone is opaque to GSPMD).
+        fast=True,
+        fold_axes=config.fold_sharding,
     )  # [B*F, 2, T]
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),

@@ -31,6 +31,10 @@ _ACTIVATIONS = {
     "ReLU6": lambda x: jnp.clip(x, 0.0, 6.0),
 }
 
+# Tests set this to route the `fast` LSTM path through the Pallas kernel in
+# interpret mode on CPU (read at trace time).
+FORCE_PALLAS_INTERPRET = False
+
 
 def _tpu_backend() -> bool:
     try:
@@ -89,6 +93,7 @@ def sequence_model_apply(
     bidirectional: bool = False,
     output_activate_function: str | bool | None = None,
     fast: bool = False,
+    fold_axes: tuple | None = None,
 ) -> jnp.ndarray:
     """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
 
@@ -96,6 +101,9 @@ def sequence_model_apply(
     kernel on TPU backends (ops/lstm_pallas.py) — for inference AND training:
     the kernel carries a custom VJP (reverse-sweep backward kernel), so
     jax.grad through this path stays fused. CPU keeps the lax.scan path.
+    `fold_axes` names the mesh axes the leading (folded B·F) dim is sharded
+    over; the kernel then runs under shard_map so each chip sweeps only its
+    own fold rows.
     """
     assert x.ndim == 3
     if sequence_model in ("TCN", "TCN-subband"):
@@ -111,15 +119,27 @@ def sequence_model_apply(
             elif (
                 fast
                 and len(params["seq"]["layers"]) == 2
-                and _tpu_backend()
+                and (_tpu_backend() or FORCE_PALLAS_INTERPRET)
             ):
-                from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train
+                from fullsubnet_plus_tpu.ops.lstm_pallas import (
+                    stacked_lstm2_train,
+                    stacked_lstm2_train_sharded,
+                )
 
                 # Output Linear fused into the kernel: avoids materializing
                 # the [N, T, H] hidden sequence in HBM (docs/PERFORMANCE.md).
                 # The _train wrapper has the same primal; under jax.grad its
                 # custom VJP keeps the backward fused too.
-                o = stacked_lstm2_train(params["seq"], xt, params["fc_output_layer"])
+                interp = FORCE_PALLAS_INTERPRET
+                if fold_axes:
+                    o = stacked_lstm2_train_sharded(
+                        params["seq"], xt, params["fc_output_layer"], fold_axes,
+                        256, interp,
+                    )
+                else:
+                    o = stacked_lstm2_train(
+                        params["seq"], xt, params["fc_output_layer"], 256, interp
+                    )
                 if output_activate_function:
                     o = _ACTIVATIONS[output_activate_function](o)
                 return jnp.swapaxes(o, 1, 2)

@@ -552,3 +552,44 @@ def _train_bwd(tile_n, interpret, residuals, dy):
 
 
 _stacked_lstm2_train.defvjp(_train_fwd, _train_bwd)
+
+
+def stacked_lstm2_train_sharded(params, x, fc, axes, tile_n: int = 256,
+                                interpret: bool = False):
+    """Fused LSTM over a fold whose leading dim is sharded on mesh `axes`.
+
+    pallas_call is opaque to GSPMD, so running the kernel on a pjit-sharded
+    fold would otherwise gather the whole (B·F) batch onto every chip. The
+    fold rows are fully independent sequences (fullsubnet_plus.py:198-205),
+    so shard_map over the row axis needs NO collectives in the forward;
+    the VJP's replicated weight/fc gradients are psum'd across shards by
+    shard_map's transpose automatically. Falls back to the unsharded kernel
+    when there is no ambient mesh with the named axes (e.g. single chip) or
+    the fold does not divide across them.
+    """
+    axes = tuple(axes) if axes else ()
+    mesh = jax.sharding.get_abstract_mesh()
+    if (
+        not axes
+        or mesh is None
+        or getattr(mesh, "empty", True)
+        or any(a not in mesh.shape for a in axes)
+    ):
+        return stacked_lstm2_train(params, x, fc, tile_n, interpret)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    if n_shards == 1 or x.shape[0] % n_shards != 0:
+        return stacked_lstm2_train(params, x, fc, tile_n, interpret)
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axes, None, None)
+    fn = jax.shard_map(
+        lambda p, xx, f: stacked_lstm2_train(p, xx, f, tile_n, interpret),
+        in_specs=(P(), spec, P()),
+        out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axes annotation; skip the
+        # vma check (the weight-grad psum on the transpose still happens).
+        check_vma=False,
+    )
+    return fn(params, x, fc)

@@ -73,6 +73,43 @@ def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_sharded_fold_matches_scan_grads(rng):
+    """shard_map'd kernel over a ('data','freq')-sharded fold: value and
+    gradient parity vs the unsharded scan path on the virtual 8-device mesh
+    (weight grads must be psum'd across shards by the shard_map transpose)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train_sharded
+    from fullsubnet_plus_tpu.parallel import make_mesh
+
+    n, t, d, h, o = 32, 7, 10, 16, 3
+    params = lstm_init(jax.random.PRNGKey(10), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(11), h, o)
+    x = jnp.asarray(rng.standard_normal((n, t, d)).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+
+    def loss_scan(params, x, fc):
+        hid, _ = lstm_apply(params, x)
+        return jnp.sum((hid @ fc["weight"] + fc["bias"]) * dy)
+
+    def loss_sharded(params, x, fc):
+        y = stacked_lstm2_train_sharded(params, x, fc, ("data", "freq"), 8, True)
+        return jnp.sum(y * dy)
+
+    mesh = make_mesh(data=4, freq=2)
+    with jax.default_matmul_precision("highest"):
+        v0, g0 = jax.value_and_grad(loss_scan, argnums=(0, 1, 2))(params, x, fc)
+        with jax.set_mesh(mesh):
+            xs = jax.device_put(x, NamedSharding(mesh, P(("data", "freq"), None, None)))
+            v1, g1 = jax.jit(jax.value_and_grad(loss_sharded, argnums=(0, 1, 2)))(
+                params, xs, fc
+            )
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
+
+
 def test_pallas_train_primal_matches_inference_kernel(rng):
     """stacked_lstm2_train's primal is exactly stacked_lstm2 (no VJP tax)."""
     from fullsubnet_plus_tpu.nn.init import linear_init

@@ -35,6 +35,46 @@ def test_fold_sharded_forward_matches_unsharded(rng):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_fold_sharded_train_step_kernel_matches_scan(rng, monkeypatch):
+    """Full sharded training step through the Pallas kernel (interpret mode,
+    forced via FORCE_PALLAS_INTERPRET) matches the lax.scan path: same loss
+    and same global gradient norm on the ('data','freq') mesh."""
+    import fullsubnet_plus_tpu.nn.sequence as seq_mod
+    from fullsubnet_plus_tpu.parallel import replicated
+    from fullsubnet_plus_tpu.train.loss import mse_loss
+    from fullsubnet_plus_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = FullSubNetPlusConfig(**SMALL, fold_sharding=("data", "freq"))
+    mesh = make_mesh(data=4, freq=2)
+    optimizer = make_optimizer()
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), cfg)
+    noisy = (0.1 * rng.standard_normal((4, 2048))).astype(np.float32)
+    clean = (0.8 * noisy).astype(np.float32)
+
+    def run(force_kernel):
+        monkeypatch.setattr(seq_mod, "FORCE_PALLAS_INTERPRET", force_kernel)
+        step = make_train_step(
+            FULLSUBNET_PLUS, cfg, optimizer, mse_loss, mesh=mesh,
+            n_fft=64, hop_length=32, win_length=64,
+        )
+        state = init_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), optimizer
+        )
+        state = jax.device_put(state, replicated(mesh))
+        with jax.default_matmul_precision("highest"):
+            _, metrics = step(state, noisy, clean)
+        return float(metrics["loss"]), float(metrics["grad_norm"])
+
+    loss_scan, gnorm_scan = run(False)
+    loss_kernel, gnorm_kernel = run(True)
+    np.testing.assert_allclose(loss_kernel, loss_scan, rtol=1e-5)
+    np.testing.assert_allclose(gnorm_kernel, gnorm_scan, rtol=1e-4)
+
+
 def test_mesh_enhancer_matches_single_device(rng):
     from fullsubnet_plus_tpu.enhance import Enhancer
 
