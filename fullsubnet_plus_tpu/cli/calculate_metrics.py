@@ -66,9 +66,18 @@ def main(argv=None):
                         help="write ranked per-file txt here")
     parser.add_argument("--sr", type=int, default=16000)
     parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="cap the number of file pairs scored")
+    parser.add_argument("--offset", type=int, default=0,
+                        help="skip this many file pairs first")
     args = parser.parse_args(argv)
 
     pairs = pair_files(args.reference_dir, args.estimated_dir, args.specific_dataset)
+    # Reference surface parity: calculate_metrics.py:217-218 exposes the same
+    # offset/limit windowing over the pair list.
+    pairs = pairs[args.offset :]
+    if args.limit is not None:
+        pairs = pairs[: args.limit]
     assert pairs, "no file pairs found"
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
 
