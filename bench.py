@@ -32,7 +32,10 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--mode", choices=["enhance", "train"], default="enhance",
+                        help="train: full train-step throughput at the "
+                             "reference batch (18 x 3.072 s)")
+    parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--iters", type=int, default=4)
     parser.add_argument("--warmup", type=int, default=2)
@@ -40,6 +43,9 @@ def main():
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
     args = parser.parse_args()
+    if args.mode == "train":
+        return bench_train(args)
+    args.batch = 64 if args.batch is None else args.batch
 
     import jax
     import jax.numpy as jnp
@@ -95,6 +101,70 @@ def main():
         json.dumps(
             {
                 "metric": "enhance_audio_seconds_per_second_per_chip",
+                "value": round(value, 3),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+def bench_train(args):
+    """Full training-step throughput (STFT → forward → MSE → backward →
+    clip → Adam) on the reference config: batch 18 × 3.072 s
+    (config/train.toml:51,57), drop_band groups 2. The sub-band LSTM runs
+    forward AND backward through the Pallas custom-VJP kernel
+    (docs/PERFORMANCE.md: bf16 ≈648 audio-s/s/chip vs ≈411 via
+    autodiff-of-scan; fp32 via scan OOMs HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+    from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+    from fullsubnet_plus_tpu.train.loss import mse_loss
+    from fullsubnet_plus_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = 18 if args.batch is None else args.batch
+    samples = 49152  # 3.072 s at 16 kHz
+    config = FullSubNetPlusConfig()
+    optimizer = make_optimizer()
+    state = init_train_state(
+        FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), config), optimizer
+    )
+    step = make_train_step(
+        FULLSUBNET_PLUS, config, optimizer, mse_loss,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32) * 0.1)
+    clean = noisy * 0.8
+    perturb = jax.jit(lambda x, s: x + s)
+
+    def run(state, i):
+        state, metrics = step(state, perturb(noisy, jnp.float32(i) * 1e-9), clean)
+        return state, float(metrics["loss"])  # scalar fetch forces completion
+
+    for i in range(args.warmup):
+        state, _ = run(state, i)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, _ = run(state, args.warmup + i)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch * (samples / 16000) * args.iters
+    value = audio_seconds / elapsed / len(jax.devices())
+    # Baseline as in the enhance mode docstring: the reference publishes no
+    # training throughput; report raw audio-s/s/chip with the same 8x-RTF
+    # denominator for a comparable vs_baseline scale.
+    baseline = 8.0 * 2.83
+    print(
+        json.dumps(
+            {
+                "metric": "train_audio_seconds_per_second_per_chip",
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
