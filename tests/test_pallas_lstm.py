@@ -73,6 +73,37 @@ def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_train_vjp_bf16(rng):
+    """bf16 gradient path: residuals are stored in bf16; grads must come back
+    in the params' dtype and stay close to the fp32 reference."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2_train
+
+    n, t, d, h, o = 24, 7, 10, 16, 2
+    params32 = lstm_init(jax.random.PRNGKey(12), d, h, 2)
+    fc32 = linear_init(jax.random.PRNGKey(13), h, o)
+    x32 = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+    to_bf16 = lambda tree: jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), tree
+    )
+
+    def loss(params, x, fc):
+        y = stacked_lstm2_train(params, x, fc, 256, True)
+        return jnp.sum(y.astype(jnp.float32) * dy)
+
+    with jax.default_matmul_precision("highest"):
+        g32 = jax.grad(loss, argnums=(0, 1, 2))(params32, x32, fc32)
+        g16 = jax.grad(loss, argnums=(0, 1, 2))(
+            to_bf16(params32), x32.astype(jnp.bfloat16), to_bf16(fc32)
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
+        assert b.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(a - b.astype(jnp.float32)))) / scale
+        assert err < 0.05, f"bf16 grad rel err {err} for {a.shape}"
+
+
 def test_pallas_sharded_fold_matches_scan_grads(rng):
     """shard_map'd kernel over a ('data','freq')-sharded fold: value and
     gradient parity vs the unsharded scan path on the virtual 8-device mesh
