@@ -75,7 +75,18 @@ def _combined_weights(params, dtype, d_pad):
     return w1, b1, w2, b2
 
 
-def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool):
+def _lane_pad(x, d_pad):
+    """Zero-pad the minor dim inside the kernel (VMEM) so the HBM copy of
+    the input stays unpadded — for the shipped D=34 the old HBM-side pad to
+    128 lanes inflated the folded input 3.8× (~2.65 GB at batch 64)."""
+    if d_pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((*x.shape[:-1], d_pad), x.dtype)], axis=-1
+    )
+
+
+def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: int):
     def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest):
         if fused_fc:
             fcw_ref, fcb_ref, out_ref, h1, c1, h2, c2 = rest
@@ -115,7 +126,8 @@ def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool):
                 gates1 = (
                     jnp.dot(
                         jnp.concatenate(
-                            [x_ref[k, rows, :], h1[rows, :].astype(mm)], axis=-1
+                            [_lane_pad(x_ref[k, rows, :], d_pad),
+                             h1[rows, :].astype(mm)], axis=-1
                         ),
                         w1_ref[:],
                         preferred_element_type=jnp.float32,
@@ -173,10 +185,11 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
     d_pad = -d % LANE
     n_pad = -n % tile_n
     t_pad = -t % steps_per_block
-    # Time-major [T, N, Dp] so blocks are (K, tile_n, Dp) — last two dims
-    # tile-aligned as the TPU lowering requires.
+    # Time-major [T, N, D] blocks; the minor dim stays UNPADDED in HBM (the
+    # kernel zero-extends it in VMEM via _lane_pad), so the folded input's
+    # footprint/bandwidth is 34-wide, not 128-wide.
     x_tm = jnp.swapaxes(x, 0, 1)
-    x_tm = jnp.pad(x_tm, ((0, t_pad), (0, n_pad), (0, d_pad)))
+    x_tm = jnp.pad(x_tm, ((0, t_pad), (0, n_pad), (0, 0)))
     n_total = n + n_pad
     d_total = d + d_pad
     t_total = t + t_pad
@@ -188,7 +201,7 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
     )
     grid = (n_total // tile_n, t_total // steps_per_block)
     in_specs = [
-        pl.BlockSpec((steps_per_block, tile_n, d_total), lambda i, s: (s, i, 0),
+        pl.BlockSpec((steps_per_block, tile_n, d), lambda i, s: (s, i, 0),
                      memory_space=pltpu.VMEM),
         resident((d_total + hidden, 4 * hidden)),
         resident((1, 4 * hidden)),
@@ -205,7 +218,7 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
         out_dim = hidden
 
     out = pl.pallas_call(
-        _make_kernel(steps_per_block, sub_tiles, fc is not None),
+        _make_kernel(steps_per_block, sub_tiles, fc is not None, d_pad),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((steps_per_block, tile_n, out_dim), lambda i, s: (s, i, 0),
@@ -249,6 +262,7 @@ def _gate_slices(gates, hidden):
 
 
 def _residual_kernel(
+    d_pad,
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, fcw_ref, fcb_ref,
     out_ref, g1_ref, c1o_ref, h1o_ref, g2_ref, c2o_ref, h2o_ref,
     h1, c1, h2, c2,
@@ -276,7 +290,9 @@ def _residual_kernel(
 
     gates1 = (
         jnp.dot(
-            jnp.concatenate([x_ref[0], h1[:].astype(mm)], axis=-1),
+            jnp.concatenate(
+                [_lane_pad(x_ref[0], d_pad), h1[:].astype(mm)], axis=-1
+            ),
             w1_ref[:], preferred_element_type=jnp.float32,
         )
         + b1_ref[0].astype(jnp.float32)
@@ -308,7 +324,7 @@ def _residual_kernel(
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _make_bwd_kernel(t_steps: int, d_total: int):
+def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
     def _kernel(
         dy_ref, g1_ref, c1_ref, c1p_ref, g2_ref, c2_ref, c2p_ref,
         fcwt_ref, w2t_ref, w1t_ref,
@@ -371,7 +387,8 @@ def _make_bwd_kernel(t_steps: int, d_total: int):
         dinp1 = jnp.dot(
             dgates1.astype(mm), w1t_ref[:], preferred_element_type=jnp.float32
         )  # [tile, Dp + H]
-        dx_ref[0] = dinp1[:, :d_total].astype(dx_ref.dtype)
+        # Columns d..Dp are grads of the zero lane-padding — dropped.
+        dx_ref[0] = dinp1[:, :d].astype(dx_ref.dtype)
         dh1[:] = dinp1[:, d_total:]
 
     return _kernel
@@ -410,7 +427,7 @@ def _train_fwd(params, x, fc, tile_n, interpret):
     tile = _eff_tile(n, dtype, tile_n)
     d_pad = -d % LANE
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, d_pad)))
+    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, 0)))
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
 
@@ -423,10 +440,10 @@ def _train_fwd(params, x, fc, tile_n, interpret):
     )
     seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
     out, g1, c1, h1, g2, c2, h2 = pl.pallas_call(
-        _residual_kernel,
+        functools.partial(_residual_kernel, d_pad),
         grid=(n_total // tile, t),
         in_specs=[
-            block(d_total),
+            block(d),
             resident((d_total + hidden, 4 * hidden)),
             resident((1, 4 * hidden)),
             resident((2 * hidden, 4 * hidden)),
@@ -469,7 +486,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
     tile = _eff_tile(n, dtype, tile_n)
     d_pad = -d % LANE
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, d_pad)))
+    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, 0)))
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
     dy_tm = jnp.pad(
@@ -494,7 +511,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
     )
     seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
     dg1, dg2, dx_tm = pl.pallas_call(
-        _make_bwd_kernel(t, d_total),
+        _make_bwd_kernel(t, d, d_total),
         grid=(n_total // tile, t),
         in_specs=[
             rev(out_dim),
@@ -504,8 +521,8 @@ def _train_bwd(tile_n, interpret, residuals, dy):
             resident((4 * hidden, 2 * hidden)),
             resident((4 * hidden, d_total + hidden)),
         ],
-        out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d_total)),
-        out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d_total)),
+        out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d)),
+        out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d)),
         scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_total * t * (3 * hidden + d_total + out_dim) * 4 * hidden,
@@ -530,7 +547,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
     dparams = {
         "layers": [
             {
-                "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1)[:d], l1["w_ih"]),
+                "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1), l1["w_ih"]),
                 "w_hh": cast(ein("tnh,tng->hg", h1p, dg1), l1["w_hh"]),
                 "b_ih": cast(db1, l1["b_ih"]),
                 "b_hh": cast(db1, l1["b_hh"]),
@@ -547,7 +564,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         "weight": cast(ein("tnh,tno->ho", h2, dy_tm), fc["weight"]),
         "bias": cast(ein("tno->o", dy_tm), fc["bias"]),
     }
-    dx = cast(jnp.swapaxes(dx_tm, 0, 1)[:n, :, :d], x)
+    dx = cast(jnp.swapaxes(dx_tm, 0, 1)[:n], x)
     return dparams, dx, dfc
 
 
