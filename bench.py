@@ -16,9 +16,17 @@ the per-chip target against the only measurable reference datapoint is met.
 Default config is the TPU serving configuration: batch 64, bfloat16 model
 compute with fp32 STFT/cIRM/iSTFT math (tests pin the bf16 waveform to
 >20 dB agreement with fp32 — tests/test_enhance_modes.py). Measured on
-v5e: bf16 batch-64 ≈1928, bf16 batch-32 ≈1755, fp32 batch-32 ≈1459
+v5e: bf16 batch-64 ≈2080, bf16 batch-32 ≈1755, fp32 batch-32 ≈1459
 audio-s/s/chip (fp32 batch-64 exceeds HBM). `--dtype float32 --batch 32`
 reproduces the fp32 number.
+
+Dispatch discipline: iterations are queued ahead (dispatched back-to-back,
+one fused jit program per iteration) and completion of EVERY iteration is
+forced by fetching its scalar tap after the loop, inside the timed region.
+The device still executes the iterations serially; queue-ahead only
+overlaps the ~25 ms axon-tunnel dispatch latency with device compute, which
+is how a real serving loop drives the chip. `--sync-every-iter` restores
+the old fetch-per-iteration behavior (measures latency, not throughput).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -37,15 +45,21 @@ def main():
                              "reference batch (18 x 3.072 s)")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--seconds", type=float, default=10.0)
-    parser.add_argument("--iters", type=int, default=4)
+    parser.add_argument("--iters", type=int, default=None,
+                        help="default: 4 (enhance) / 16 (train)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    parser.add_argument("--sync-every-iter", action="store_true",
+                        help="fetch each iteration's scalar before dispatching "
+                             "the next (latency mode; default is queue-ahead)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
     args = parser.parse_args()
     if args.mode == "train":
+        args.iters = 16 if args.iters is None else args.iters
         return bench_train(args)
     args.batch = 64 if args.batch is None else args.batch
+    args.iters = 4 if args.iters is None else args.iters
 
     import jax
     import jax.numpy as jnp
@@ -76,22 +90,29 @@ def main():
     # on-device each iteration so no layer can serve a cached result, and
     # force completion by fetching a scalar reduced from the output
     # (block_until_ready alone can return before remote execution finishes).
-    perturb = jax.jit(lambda x, s: x + s)
+    # Perturbation + enhancement + scalar tap are ONE jitted dispatch per
+    # iteration (jit-of-jit traces through the enhancer's cached program).
+    step = jax.jit(
+        lambda x, s: enhancer.mag_complex_full_band_crm_mask(x + s)[0, 0]
+    )
 
     def run(i):
-        xi = perturb(noisy_dev, jnp.float32(i) * 1e-9)
-        out = enhancer.mag_complex_full_band_crm_mask(xi)
-        return float(out[0, 0])
+        return step(noisy_dev, jnp.float32(i) * 1e-9)
 
     for i in range(args.warmup):
-        run(i)
+        float(run(i))
 
     from fullsubnet_plus_tpu.utils.profiling import device_trace
 
     with device_trace(args.profile_dir):
         t0 = time.perf_counter()
-        for i in range(args.iters):
-            run(args.warmup + i)
+        if args.sync_every_iter:
+            for i in range(args.iters):
+                float(run(args.warmup + i))
+        else:
+            taps = [run(args.warmup + i) for i in range(args.iters)]
+            for tap in taps:  # force completion of every iteration
+                float(tap)
         elapsed = time.perf_counter() - t0
 
     audio_seconds = args.batch * args.seconds * args.iters
@@ -114,8 +135,11 @@ def bench_train(args):
     clip → Adam) on the reference config: batch 18 × 3.072 s
     (config/train.toml:51,57), drop_band groups 2. The sub-band LSTM runs
     forward AND backward through the Pallas custom-VJP kernel
-    (docs/PERFORMANCE.md: bf16 ≈648 audio-s/s/chip vs ≈411 via
-    autodiff-of-scan; fp32 via scan OOMs HBM)."""
+    (docs/PERFORMANCE.md: bf16 ≈1140 audio-s/s/chip with the queue-ahead
+    loop below vs ≈411 via autodiff-of-scan with per-step sync; fp32 via
+    scan OOMs HBM). Steps are dispatched back-to-back — the state chain
+    keeps device execution serialized — and every step's loss is fetched
+    inside the timed region."""
     import jax
     import jax.numpy as jnp
 
@@ -146,13 +170,23 @@ def bench_train(args):
 
     def run(state, i):
         state, metrics = step(state, perturb(noisy, jnp.float32(i) * 1e-9), clean)
-        return state, float(metrics["loss"])  # scalar fetch forces completion
+        return state, metrics["loss"]
 
     for i in range(args.warmup):
-        state, _ = run(state, i)
+        state, loss = run(state, i)
+        float(loss)
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, _ = run(state, args.warmup + i)
+    if args.sync_every_iter:
+        for i in range(args.iters):
+            state, loss = run(state, args.warmup + i)
+            float(loss)
+    else:
+        losses = []
+        for i in range(args.iters):
+            state, loss = run(state, args.warmup + i)
+            losses.append(loss)
+        for loss in losses:  # force completion of every step
+            float(loss)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = batch * (samples / 16000) * args.iters

@@ -207,13 +207,25 @@ class Trainer:
     def _train_epoch(self, epoch: int) -> float:
         from fullsubnet_plus_tpu.parallel.mesh import globalize_batch
 
+        # Dispatch steps back-to-back and keep a bounded window of
+        # un-fetched loss scalars: fetching the loss synchronously every
+        # step costs a full host<->device round trip (~25 ms over the axon
+        # tunnel — more than a third of the 48 ms bf16 step itself, see
+        # docs/PERFORMANCE.md). The state-chain dependency keeps device
+        # execution correctly serialized; the window bound keeps the host
+        # from racing more than a few batches ahead of the device.
+        window = 8
+        pending: list = []
         loss_total, n = 0.0, 0
         for noisy, clean in self.train_loader.epoch(epoch):
             if self.mesh is not None and jax.process_count() > 1:
                 noisy, clean = globalize_batch(self.mesh, noisy, clean)
             self.state, metrics = self.train_step(self.state, noisy, clean)
-            loss_total += float(metrics["loss"])
+            pending.append(metrics["loss"])
             n += 1
+            if len(pending) > window:
+                loss_total += float(pending.pop(0))
+        loss_total += sum(float(l) for l in pending)
         return loss_total / max(n, 1)
 
     def _validation_epoch(self, epoch: int) -> float:
