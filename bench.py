@@ -14,11 +14,16 @@ vs_baseline against 8 × 2.83 = 22.6 audio-s/s — i.e. vs_baseline ≥ 1 means
 the per-chip target against the only measurable reference datapoint is met.
 
 Default config is the TPU serving configuration: batch 64, bfloat16 model
-compute with fp32 STFT/cIRM/iSTFT math (tests pin the bf16 waveform to
->20 dB agreement with fp32 — tests/test_enhance_modes.py). Measured on
-v5e: bf16 batch-64 ≈2080, bf16 batch-32 ≈1755, fp32 batch-32 ≈1459
-audio-s/s/chip (fp32 batch-64 exceeds HBM). `--dtype float32 --batch 32`
-reproduces the fp32 number.
+compute with fp32 STFT/cIRM/iSTFT math, and the sub-band LSTM's recurrent
+products on the int8 MXU (ops/lstm_pallas.py stacked_lstm2_quantized).
+int8 costs NO additional waveform error over bf16 at the full model size:
+both agree with the fp32 waveform at 21.9 dB / 21.8 dB respectively
+(docs/PERFORMANCE.md), because h is bounded (-1,1) and per-column weight
+scales keep the quantization noise under the bf16 mantissa noise already
+present. Measured on v5e: int8 batch-64 ≈2296, bf16 batch-64 ≈2082, bf16
+batch-32 ≈1755, fp32 batch-32 ≈1459 audio-s/s/chip (fp32 batch-64 exceeds
+HBM). `--dtype bfloat16` / `--dtype float32 --batch 32` reproduce the
+other rows.
 
 Dispatch discipline: iterations are queued ahead (dispatched back-to-back,
 one fused jit program per iteration) and completion of EVERY iteration is
@@ -48,7 +53,10 @@ def main():
     parser.add_argument("--iters", type=int, default=None,
                         help="default: 4 (enhance) / 16 (train)")
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                        default=None,
+                        help="default: int8 (enhance; the int8-recurrent "
+                             "serving mode) / bfloat16 (train)")
     parser.add_argument("--sync-every-iter", action="store_true",
                         help="fetch each iteration's scalar before dispatching "
                              "the next (latency mode; default is queue-ahead)")
@@ -56,8 +64,12 @@ def main():
                         help="write a jax.profiler trace here")
     args = parser.parse_args()
     if args.mode == "train":
+        if args.dtype == "int8":
+            raise SystemExit("--dtype int8 is a serving mode (enhance only)")
+        args.dtype = "bfloat16" if args.dtype is None else args.dtype
         args.iters = 16 if args.iters is None else args.iters
         return bench_train(args)
+    args.dtype = "int8" if args.dtype is None else args.dtype
     args.batch = 64 if args.batch is None else args.batch
     args.iters = 4 if args.iters is None else args.iters
 

@@ -20,7 +20,11 @@ import numpy as np
 
 
 def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
-                input_dirs=None, batch_size: int = 8) -> dict:
+                input_dirs=None, batch_size: int = 8,
+                compute_dtype: str | None = None) -> dict:
+    """compute_dtype: None (fp32 parity path), "bfloat16", or "int8" (the
+    int8-recurrent serving mode — see docs/PERFORMANCE.md). CLI --dtype or
+    the config's [inferencer.args] compute_dtype select it."""
     import jax
 
     from fullsubnet_plus_tpu.data.datasets import InferenceDataset
@@ -55,6 +59,11 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
         win_length=acoustics.get("win_length", 512),
         sr=acoustics.get("sr", 16000),
         n_neighbor=inferencer_cfg.get("args", {}).get("n_neighbor", 15),
+        compute_dtype=(
+            compute_dtype
+            if compute_dtype is not None
+            else inferencer_cfg.get("args", {}).get("compute_dtype")
+        ),
     )
 
     dirs = input_dirs or config["dataset"]["args"]["dataset_dir_list"]
@@ -117,6 +126,11 @@ def main(argv=None):
                         help="comma-separated noisy dirs (overrides config)")
     parser.add_argument("-O", "--output_dir", required=True)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                        default=None,
+                        help="model compute dtype: float32 = parity path "
+                             "(default), bfloat16 = TPU fast path, int8 = "
+                             "int8-recurrent serving mode (fastest)")
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.utils.config import load_config
@@ -129,6 +143,7 @@ def main(argv=None):
         args.output_dir,
         input_dirs=input_dirs,
         batch_size=args.batch,
+        compute_dtype=args.dtype,
     )
 
 

@@ -55,12 +55,21 @@ class Enhancer:
         # compute_dtype="bfloat16" casts weights + model activations for the
         # forward pass (MXU runs bf16 at 4x the fp32 rate on v5e); the STFT,
         # mask decompression, and iSTFT stay fp32 for waveform fidelity.
+        # compute_dtype="int8" additionally runs the sub-band LSTM's
+        # recurrent products on the int8 MXU (ops/lstm_pallas.py
+        # stacked_lstm2_quantized) — the fastest serving mode; ~42 dB kernel
+        # SNR vs fp32 (docs/PERFORMANCE.md), NOT the parity path.
         self.compute_dtype = None
-        if compute_dtype in ("bfloat16", jnp.bfloat16):
+        if compute_dtype in ("bfloat16", jnp.bfloat16, "int8"):
             self.compute_dtype = jnp.bfloat16
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(jnp.bfloat16), params
             )
+            if compute_dtype == "int8":
+                import dataclasses
+
+                model_config = dataclasses.replace(model_config, quantized_lstm=True)
+                self.model_config = model_config
         self.params = params
         self.inference_type = inference_type
         self.n_fft, self.hop, self.win = n_fft, hop_length, win_length

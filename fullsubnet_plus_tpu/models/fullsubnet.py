@@ -31,6 +31,8 @@ class FullSubNetConfig:
     sb_model_hidden_size: int = 384
     norm_type: str = "offline_laplace_norm"
     num_groups_in_drop_band: int = 2
+    # Serving-only int8-recurrent LSTMs (ops/lstm_pallas.py); forward-only.
+    quantized_lstm: bool = False
 
     @property
     def sb_input_size(self) -> int:
@@ -85,6 +87,7 @@ def apply(
         sequence_model=config.sequence_model,
         output_activate_function=config.fb_output_activate_function,
         fast=True,  # Pallas kernel on TPU; custom VJP covers training
+        quantized=config.quantized_lstm and not training,
     ).reshape(batch_size, 1, num_freqs, num_frames)
 
     fb_w = config.fb_num_neighbors * 2 + 1
@@ -111,6 +114,7 @@ def apply(
         sequence_model=config.sequence_model,
         output_activate_function=config.sb_output_activate_function,
         fast=True,  # Pallas kernel on TPU; custom VJP covers training
+        quantized=config.quantized_lstm and not training,
     )
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, 2, num_frames), (0, 2, 1, 3)

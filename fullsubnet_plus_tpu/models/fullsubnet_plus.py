@@ -66,6 +66,10 @@ class FullSubNetPlusConfig:
     # across chips and all-gathers the tiny [B,2,F,T] mask at the end.
     # Requires an ambient mesh (jax.set_mesh) providing the named axes.
     fold_sharding: tuple | None = None
+    # Serving-only int8-recurrent sub-band LSTM (ops/lstm_pallas.py
+    # stacked_lstm2_quantized). Forward-only; NOT the checkpoint-parity
+    # path. Set via Enhancer(compute_dtype="int8").
+    quantized_lstm: bool = False
 
     @property
     def num_channels(self) -> int:
@@ -236,6 +240,7 @@ def apply(
         # own fold rows — pallas_call alone is opaque to GSPMD).
         fast=True,
         fold_axes=config.fold_sharding,
+        quantized=config.quantized_lstm and not training,
     )  # [B*F, 2, T]
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),

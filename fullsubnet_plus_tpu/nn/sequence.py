@@ -94,6 +94,7 @@ def sequence_model_apply(
     output_activate_function: str | bool | None = None,
     fast: bool = False,
     fold_axes: tuple | None = None,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
 
@@ -103,7 +104,9 @@ def sequence_model_apply(
     jax.grad through this path stays fused. CPU keeps the lax.scan path.
     `fold_axes` names the mesh axes the leading (folded B·F) dim is sharded
     over; the kernel then runs under shard_map so each chip sweeps only its
-    own fold rows.
+    own fold rows. `quantized=True` (serving only, forward-only) runs the
+    int8-recurrent kernel instead — see ops/lstm_pallas.py for the scheme
+    and measured speed/SNR.
     """
     assert x.ndim == 3
     if sequence_model in ("TCN", "TCN-subband"):
@@ -122,6 +125,8 @@ def sequence_model_apply(
                 and (_tpu_backend() or FORCE_PALLAS_INTERPRET)
             ):
                 from fullsubnet_plus_tpu.ops.lstm_pallas import (
+                    stacked_lstm2_quantized,
+                    stacked_lstm2_quantized_sharded,
                     stacked_lstm2_train,
                     stacked_lstm2_train_sharded,
                 )
@@ -129,15 +134,21 @@ def sequence_model_apply(
                 # Output Linear fused into the kernel: avoids materializing
                 # the [N, T, H] hidden sequence in HBM (docs/PERFORMANCE.md).
                 # The _train wrapper has the same primal; under jax.grad its
-                # custom VJP keeps the backward fused too.
+                # custom VJP keeps the backward fused too. The quantized
+                # kernel is the int8-recurrent serving path (forward-only).
                 interp = FORCE_PALLAS_INTERPRET
+                plain, sharded = (
+                    (stacked_lstm2_quantized, stacked_lstm2_quantized_sharded)
+                    if quantized
+                    else (stacked_lstm2_train, stacked_lstm2_train_sharded)
+                )
                 if fold_axes:
-                    o = stacked_lstm2_train_sharded(
+                    o = sharded(
                         params["seq"], xt, params["fc_output_layer"], fold_axes,
                         256, interp,
                     )
                 else:
-                    o = stacked_lstm2_train(
+                    o = plain(
                         params["seq"], xt, params["fc_output_layer"], 256, interp
                     )
                 if output_activate_function:

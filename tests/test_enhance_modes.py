@@ -130,3 +130,23 @@ def test_overlapped_chunk_mode(noisy):
     out = np.asarray(e.overlapped_chunk(long_noisy, chunk_seconds=1))
     assert out.shape[-1] == long_noisy.shape[-1]
     assert np.isfinite(out).all()
+
+
+def test_int8_enhance_close_to_fp32(noisy, monkeypatch):
+    """compute_dtype="int8" (int8-recurrent sub-band LSTM serving mode):
+    waveform agreement with the fp32 path stays usable. The kernel only
+    engages on TPU backends; force interpret mode so CPU exercises it."""
+    import fullsubnet_plus_tpu.nn.sequence as seq
+
+    monkeypatch.setattr(seq, "FORCE_PALLAS_INTERPRET", True)
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    ref = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params, **ACOUSTICS).enhance_batch(noisy)
+    e = Enhancer(
+        FULLSUBNET_PLUS, SMALL_PLUS, params, compute_dtype="int8", **ACOUSTICS
+    )
+    assert e.model_config.quantized_lstm  # dataclasses.replace applied
+    out = e.enhance_batch(noisy)
+    err = ref - out
+    sdr = 10 * np.log10((ref**2).sum() / ((err**2).sum() + 1e-20))
+    assert np.isfinite(out).all()
+    assert sdr > 15.0, f"int8 path diverged from fp32: agreement SDR {sdr:.1f} dB"
