@@ -85,11 +85,21 @@ def make_train_step(
     compute_dtype=jnp.float32,
     mesh=None,
     remat: bool = False,
+    skip_nonfinite: bool = True,
 ):
     """Build the jitted (state, noisy, clean) -> (state, metrics) step.
 
     `remat=True` wraps the model forward in jax.checkpoint, trading FLOPs
     for activation memory (lets the per-chip batch grow past HBM limits).
+
+    `skip_nonfinite=True` (default) is on-device failure detection the
+    reference lacks (SURVEY.md §5: its only guard is a manual check_nan
+    helper): when the loss or gradient global-norm is NaN/Inf — a corrupt
+    batch, an overflow — the whole update (params AND optimizer moments) is
+    rejected with a branchless jnp.where select, the step counter still
+    advances, and metrics["skipped"] reports 1.0 so the trainer can count
+    and log it. When everything is finite the step is bit-identical to the
+    unguarded one, so loss parity is unaffected.
     """
     forward = _model_forward(model_def)
     if remat:
@@ -134,12 +144,21 @@ def make_train_step(
             state.params, noisy, clean
         )
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            params = keep(params, state.params)
+            opt_state = keep(opt_state, state.opt_state)
+            metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is None:

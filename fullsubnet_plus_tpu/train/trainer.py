@@ -11,7 +11,10 @@ split, base_trainer.py:296-302).
 
 from __future__ import annotations
 
+import json
 import os
+import signal
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -57,6 +60,8 @@ class Trainer:
         seed: int = 0,
         is_primary: bool = True,
         use_tensorboard: bool = True,
+        handle_preemption: bool = True,
+        heartbeat_interval: int = 50,
     ):
         from fullsubnet_plus_tpu.train.loss import mse_loss
 
@@ -84,8 +89,29 @@ class Trainer:
         self.is_primary = is_primary
 
         self.ckpt = CheckpointManager(save_dir, is_primary=is_primary)
+        self.save_dir = save_dir
         self.start_epoch = 1
         self.best_score = -np.inf if save_max_metric_score else np.inf
+
+        # -- failure detection / preemption safety (capabilities the
+        # reference lacks, SURVEY.md §5: its recovery story is a manual -R
+        # resume). A SIGTERM/SIGINT (preemption notice) sets a flag; the
+        # epoch loop checkpoints at the next step boundary and exits
+        # cleanly, so `-R` resumes with at most one epoch's steps lost.
+        # Non-finite steps are rejected ON DEVICE (train/step.py
+        # skip_nonfinite) and counted here; a heartbeat JSON is rewritten
+        # every `heartbeat_interval` steps for external watchdogs.
+        self.heartbeat_interval = max(1, heartbeat_interval)
+        self.skipped_steps = 0
+        self._global_step = 0
+        self._preempted = False
+        self._prev_handlers = {}
+        if handle_preemption and threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._prev_handlers[sig] = signal.signal(sig, self._on_preempt)
+                except (ValueError, OSError):
+                    pass
 
         import jax.numpy as jnp
 
@@ -170,6 +196,33 @@ class Trainer:
         self.state = TrainState(params, self.state.opt_state, self.state.step)
         logger.log(f"Preloaded model weights from {path}")
 
+    # -- failure detection / preemption -------------------------------------
+
+    def _on_preempt(self, signum, frame):
+        del frame
+        self._preempted = True
+        logger.log(f"Signal {signum} received: will checkpoint and exit at "
+                   "the next step boundary")
+
+    def _write_heartbeat(self, epoch: int, loss: float):
+        if not self.is_primary:
+            return
+        beat = {
+            "epoch": epoch,
+            "global_step": self._global_step,
+            "loss": float(loss),
+            "skipped_steps": self.skipped_steps,
+            "time": time.time(),
+        }
+        path = os.path.join(self.save_dir, "heartbeat.json")
+        tmp = path + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(beat, f)
+            os.replace(tmp, path)  # atomic: watchdogs never see a torn file
+        except OSError:
+            pass  # observability must never break training
+
     def _is_best(self, score: float) -> bool:
         """base_trainer.py:202-213."""
         if self.save_max_metric_score and score >= self.best_score:
@@ -183,6 +236,19 @@ class Trainer:
     # -- loop ---------------------------------------------------------------
 
     def train(self, only_validation: bool = False):
+        try:
+            self._train_loop(only_validation)
+        finally:
+            # Give the signals back to whoever owned them (keeps repeated
+            # Trainer construction in one process — tests, notebooks — sane).
+            for sig, handler in self._prev_handlers.items():
+                try:
+                    signal.signal(sig, handler)
+                except (ValueError, OSError):
+                    pass
+            self._prev_handlers = {}
+
+    def _train_loop(self, only_validation: bool = False):
         for epoch in range(self.start_epoch, self.epochs + 1):
             if only_validation:
                 score = self._validation_epoch(epoch)
@@ -196,6 +262,16 @@ class Trainer:
             )
             if self.writer:
                 self.writer.add_scalar("Loss/Train", train_loss, epoch)
+
+            if self._preempted:
+                # Preemption checkpoint: the interrupted epoch is NOT counted
+                # as completed (saved as epoch-1), so -R resume replays it.
+                if self.is_primary:
+                    self.ckpt.save(self.state, epoch - 1, self.best_score)
+                    self._write_heartbeat(epoch, train_loss)
+                logger.log(f"Preempted during epoch {epoch}: checkpoint "
+                           "written, exiting cleanly (resume with -R)")
+                return
 
             if self.is_primary and epoch % self.save_checkpoint_interval == 0:
                 self.ckpt.save(self.state, epoch, self.best_score)
@@ -217,15 +293,39 @@ class Trainer:
         window = 8
         pending: list = []
         loss_total, n = 0.0, 0
+
+        def drain(one=True):
+            nonlocal loss_total
+            while pending and (len(pending) > window if one else True):
+                loss, skipped = pending.pop(0)
+                loss = float(loss)
+                loss_total += loss
+                if skipped is not None and float(skipped) > 0:
+                    self.skipped_steps += 1
+                    logger.log(
+                        f"[Guard] non-finite step rejected on device "
+                        f"(epoch {epoch}, total skipped {self.skipped_steps})"
+                    )
+                if one:
+                    return loss
+            return None
+
+        last_loss = 0.0
         for noisy, clean in self.train_loader.epoch(epoch):
             if self.mesh is not None and jax.process_count() > 1:
                 noisy, clean = globalize_batch(self.mesh, noisy, clean)
             self.state, metrics = self.train_step(self.state, noisy, clean)
-            pending.append(metrics["loss"])
+            pending.append((metrics["loss"], metrics.get("skipped")))
             n += 1
-            if len(pending) > window:
-                loss_total += float(pending.pop(0))
-        loss_total += sum(float(l) for l in pending)
+            self._global_step += 1
+            fetched = drain()
+            if fetched is not None:
+                last_loss = fetched
+            if self._global_step % self.heartbeat_interval == 0:
+                self._write_heartbeat(epoch, last_loss)
+            if self._preempted:
+                break
+        drain(one=False)
         return loss_total / max(n, 1)
 
     def _validation_epoch(self, epoch: int) -> float:
