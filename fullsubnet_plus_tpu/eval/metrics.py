@@ -44,6 +44,15 @@ def wb_pesq(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> float:
     return float(_pesq(sr, clean, enhanced, "wb"))
 
 
+def wb_pesq_est(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> float:
+    """From-scratch WB-PESQ-style MOS-LQO estimator (eval/pesq_estimator.py):
+    P.862.2 pipeline structure, NOT ITU-conformant — always available, used
+    for checkpoint ranking when the licensed wheel is absent."""
+    from fullsubnet_plus_tpu.eval.pesq_estimator import wb_pesq_estimator
+
+    return wb_pesq_estimator(clean, enhanced, sr=sr)
+
+
 def nb_pesq(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> float:
     """Narrow-band PESQ at 8 kHz (metrics.py:103-111)."""
     try:
@@ -95,6 +104,7 @@ REGISTERED_METRICS = {
     "SI_SDR": si_sdr,
     "STOI": stoi,
     "WB_PESQ": wb_pesq,
+    "WB_PESQ_EST": wb_pesq_est,
     "NB_PESQ": nb_pesq,
     "SDR": sdr,
     "MOSNET": mosnet,
@@ -103,7 +113,7 @@ REGISTERED_METRICS = {
 
 def metric_available(name: str) -> bool:
     """True if the metric's backing implementation can run here."""
-    if name in ("SI_SDR", "STOI"):
+    if name in ("SI_SDR", "STOI", "WB_PESQ_EST"):
         return True
     if name in ("WB_PESQ", "NB_PESQ"):
         try:
@@ -148,10 +158,15 @@ def transform_pesq_range(pesq_score: float) -> float:
 
 def validation_score(metric_means: dict) -> float:
     """Best-model gate: mean of STOI and range-normalized WB-PESQ
-    (base_trainer.py:296-302). Falls back to STOI (+SI_SDR/20) when PESQ is
-    unavailable in this environment."""
+    (base_trainer.py:296-302). Falls back to the from-scratch WB_PESQ_EST
+    estimator in the same formula when the licensed PESQ wheel is absent,
+    then to STOI alone, then SI_SDR/20."""
     if "WB_PESQ" in metric_means and "STOI" in metric_means:
         return (metric_means["STOI"] + transform_pesq_range(metric_means["WB_PESQ"])) / 2
+    if "WB_PESQ_EST" in metric_means and "STOI" in metric_means:
+        return (
+            metric_means["STOI"] + transform_pesq_range(metric_means["WB_PESQ_EST"])
+        ) / 2
     if "STOI" in metric_means:
         return metric_means["STOI"]
     if "SI_SDR" in metric_means:
