@@ -255,11 +255,16 @@ def _disturbances(clean: np.ndarray, degraded: np.ndarray,
     a_frame = a_frame / h
 
     def _two_stage(values, p_inner):
-        """Lp over 20-frame 'syllables' (hop 10), then L2 over syllables."""
+        """Lp over 20-frame 'syllables' (hop 10), then L2 over syllables.
+        A final tail-anchored window guarantees the last frames are always
+        aggregated (otherwise distortion in the trailing ~150 ms of an
+        utterance would be invisible)."""
         if len(values) < 20:
             chunks = values[None, :]
         else:
-            starts = np.arange(0, len(values) - 19, 10)
+            starts = list(np.arange(0, len(values) - 19, 10))
+            if starts[-1] != len(values) - 20:
+                starts.append(len(values) - 20)
             chunks = np.stack([values[s : s + 20] for s in starts])
         inner = (np.mean(chunks ** p_inner, axis=1)) ** (1.0 / p_inner)
         return float(np.sqrt(np.mean(inner**2)))

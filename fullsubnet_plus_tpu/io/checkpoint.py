@@ -121,9 +121,13 @@ class CheckpointManager:
         if is_primary:
             os.makedirs(self.ckpt_dir, exist_ok=True)
 
-    def save(self, state, epoch: int, best_score: float, is_best: bool = False):
+    def save(self, state, epoch: int, best_score: float, is_best: bool = False,
+             latest_only: bool = False):
         """latest + per-epoch weights (+ best), rank 0 only
-        (base_trainer.py:159-200)."""
+        (base_trainer.py:159-200). `latest_only` skips the per-epoch
+        weights file — used by the preemption path, whose mid-epoch state
+        is labeled with the previous epoch for -R replay and must not
+        clobber that epoch's real end-of-epoch artifact."""
         if not self.is_primary:
             return
         meta = {"epoch": epoch, "best_score": float(best_score)}
@@ -133,11 +137,12 @@ class CheckpointManager:
             "step": state.step,
         }
         save_pytree(os.path.join(self.ckpt_dir, "latest_model.npz"), full, meta)
-        save_pytree(
-            os.path.join(self.ckpt_dir, f"model_{epoch:04d}.npz"),
-            {"params": state.params},
-            meta,
-        )
+        if not latest_only:
+            save_pytree(
+                os.path.join(self.ckpt_dir, f"model_{epoch:04d}.npz"),
+                {"params": state.params},
+                meta,
+            )
         if is_best:
             save_pytree(os.path.join(self.ckpt_dir, "best_model.npz"), full, meta)
 

@@ -152,7 +152,14 @@ def make_train_step(
             "grad_norm": grad_norm,
         }
         if skip_nonfinite:
-            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            # The update itself must be finite too: Adam's m/(sqrt(v)+eps)
+            # can overflow from finite grads (tiny v), and applying a NaN
+            # update would poison params forever while loss stays "finite".
+            ok = (
+                jnp.isfinite(loss)
+                & jnp.isfinite(grad_norm)
+                & jnp.isfinite(optax.global_norm(updates))
+            )
             keep = lambda new, old: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), new, old
             )

@@ -106,12 +106,10 @@ class Trainer:
         self._global_step = 0
         self._preempted = False
         self._prev_handlers = {}
-        if handle_preemption and threading.current_thread() is threading.main_thread():
-            for sig in (signal.SIGTERM, signal.SIGINT):
-                try:
-                    self._prev_handlers[sig] = signal.signal(sig, self._on_preempt)
-                except (ValueError, OSError):
-                    pass
+        # Handlers are installed at train() ENTRY (not here) so a Trainer
+        # used only for resume()/inspection never hijacks Ctrl+C, and every
+        # train() call gets its own install/restore pair.
+        self._handle_preemption = handle_preemption
 
         import jax.numpy as jnp
 
@@ -207,14 +205,17 @@ class Trainer:
     def _write_heartbeat(self, epoch: int, loss: float):
         if not self.is_primary:
             return
+        loss = float(loss)
         beat = {
             "epoch": epoch,
             "global_step": self._global_step,
-            "loss": float(loss),
+            # strict JSON: bare NaN/Inf would break jq/Go/Rust watchdogs
+            "loss": loss if np.isfinite(loss) else None,
             "skipped_steps": self.skipped_steps,
             "time": time.time(),
         }
-        path = os.path.join(self.save_dir, "heartbeat.json")
+        # ckpt.save_dir is the expanduser/abspath-normalized form
+        path = os.path.join(self.ckpt.save_dir, "heartbeat.json")
         tmp = path + ".tmp"
         try:
             with open(tmp, "w") as f:
@@ -236,6 +237,16 @@ class Trainer:
     # -- loop ---------------------------------------------------------------
 
     def train(self, only_validation: bool = False):
+        self._preempted = False
+        if (
+            self._handle_preemption
+            and threading.current_thread() is threading.main_thread()
+        ):
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._prev_handlers[sig] = signal.signal(sig, self._on_preempt)
+                except (ValueError, OSError):
+                    pass
         try:
             self._train_loop(only_validation)
         finally:
@@ -266,8 +277,10 @@ class Trainer:
             if self._preempted:
                 # Preemption checkpoint: the interrupted epoch is NOT counted
                 # as completed (saved as epoch-1), so -R resume replays it.
+                # latest_only: don't clobber epoch-1's real per-epoch file.
                 if self.is_primary:
-                    self.ckpt.save(self.state, epoch - 1, self.best_score)
+                    self.ckpt.save(self.state, epoch - 1, self.best_score,
+                                   latest_only=True)
                     self._write_heartbeat(epoch, train_loss)
                 logger.log(f"Preempted during epoch {epoch}: checkpoint "
                            "written, exiting cleanly (resume with -R)")
@@ -292,25 +305,30 @@ class Trainer:
         # from racing more than a few batches ahead of the device.
         window = 8
         pending: list = []
-        loss_total, n = 0.0, 0
+        loss_total, n_counted, n = 0.0, 0, 0
+        last_loss = 0.0
 
         def drain(one=True):
-            nonlocal loss_total
+            nonlocal loss_total, n_counted, last_loss
             while pending and (len(pending) > window if one else True):
                 loss, skipped = pending.pop(0)
                 loss = float(loss)
-                loss_total += loss
                 if skipped is not None and float(skipped) > 0:
+                    # Rejected step: its NaN/Inf loss must not poison the
+                    # epoch mean or the heartbeat.
                     self.skipped_steps += 1
                     logger.log(
                         f"[Guard] non-finite step rejected on device "
                         f"(epoch {epoch}, total skipped {self.skipped_steps})"
                     )
+                else:
+                    loss_total += loss
+                    n_counted += 1
+                    last_loss = loss
                 if one:
-                    return loss
-            return None
+                    return
+            return
 
-        last_loss = 0.0
         for noisy, clean in self.train_loader.epoch(epoch):
             if self.mesh is not None and jax.process_count() > 1:
                 noisy, clean = globalize_batch(self.mesh, noisy, clean)
@@ -318,15 +336,13 @@ class Trainer:
             pending.append((metrics["loss"], metrics.get("skipped")))
             n += 1
             self._global_step += 1
-            fetched = drain()
-            if fetched is not None:
-                last_loss = fetched
+            drain()
             if self._global_step % self.heartbeat_interval == 0:
                 self._write_heartbeat(epoch, last_loss)
             if self._preempted:
                 break
         drain(one=False)
-        return loss_total / max(n, 1)
+        return loss_total / max(n_counted, 1)
 
     def _validation_epoch(self, epoch: int) -> float:
         """Per-utterance eval + CPU metrics, split by speech type

@@ -155,3 +155,19 @@ def test_preemption_checkpoints_and_exits(tmp_path):
     assert trainer2.start_epoch == 1
     for sig, h in trainer2._prev_handlers.items():
         signal.signal(sig, h)
+
+
+def test_handlers_only_installed_during_train(tmp_path):
+    """Constructing a Trainer (e.g. for resume()/inspection) must NOT hijack
+    SIGTERM/SIGINT; only train() installs handlers, and it restores them."""
+    from fullsubnet_plus_tpu.train.trainer import Trainer
+
+    before = signal.getsignal(signal.SIGTERM)
+    trainer = Trainer(
+        FULLSUBNET_PLUS, TINY,
+        save_dir=str(tmp_path),
+        train_loader=None,
+        use_tensorboard=False,
+    )
+    assert signal.getsignal(signal.SIGTERM) is before
+    assert trainer._prev_handlers == {}

@@ -87,3 +87,14 @@ def test_registry_and_gate():
     # conformant WB_PESQ, when present, still wins
     both = validation_score({"STOI": 0.9, "WB_PESQ": 2.0, "WB_PESQ_EST": 3.0})
     assert both == (0.9 + (2.0 + 0.5) / 5.0) / 2
+
+
+def test_tail_distortion_detected(ref):
+    """Distortion confined to the final ~150 ms must lower the score (the
+    aggregation includes a tail-anchored window)."""
+    rng = np.random.default_rng(7)
+    deg = ref.copy()
+    deg[-2400:] += rng.standard_normal(2400) * np.sqrt((ref**2).mean()) * 2.0
+    clean_score = wb_pesq_estimator(ref, ref)
+    tail_score = wb_pesq_estimator(ref, deg)
+    assert tail_score < clean_score - 0.05, (clean_score, tail_score)
