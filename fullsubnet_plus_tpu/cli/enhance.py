@@ -79,18 +79,19 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
         items.append((wav, name))
     items.sort(key=lambda kv: len(kv[0]))
 
-    total_audio_s, total_wall = 0.0, 0.0
-    i = 0
-    while i < len(items):
-        batch = items[i : i + batch_size]
-        max_len = max(len(w) for w, _ in batch)
-        padded_len = -(-max_len // bucket_quantum) * bucket_quantum
-        stacked = np.zeros((len(batch), padded_len), np.float32)
-        for j, (w, _) in enumerate(batch):
-            stacked[j, : len(w)] = w
-        t0 = time.perf_counter()
-        enhanced = enhancer.enhance_batch(stacked)
-        wall = time.perf_counter() - t0
+    # Pipelined serving loop: the main thread only pads and DISPATCHES
+    # batches (jit dispatch is asynchronous, so batch i+1 is enqueued while
+    # the device still runs batch i); a single writer thread fetches each
+    # finished batch (the blocking device→host transfer), rescales, and
+    # writes wavs. Dispatch, transfer, and file I/O therefore overlap —
+    # the reference loops file-by-file fully serialized (base_inferencer
+    # .py:134-160).
+    from concurrent.futures import ThreadPoolExecutor
+
+    mode_fn = getattr(enhancer, enhancer.inference_type)
+
+    def _finish(enhanced_dev, batch, t_dispatch):
+        enhanced = np.asarray(enhanced_dev)  # blocks until the batch is done
         for j, (w, name) in enumerate(batch):
             y = enhanced[j, : len(w)]
             peak = np.max(np.abs(y)) + 1e-12
@@ -99,13 +100,32 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
             y = y / peak * 0.8
             write_wav(os.path.join(output_dir, f"{name}.wav"), y, sr)
         audio_s = sum(len(w) for w, _ in batch) / sr
-        total_audio_s += audio_s
-        total_wall += wall
-        rtf = wall / audio_s
+        wall = time.perf_counter() - t_dispatch
         logger.log(
-            f"batch of {len(batch)} ({audio_s:.1f} audio-s) in {wall:.2f}s, rtf={rtf:.4f}"
+            f"batch of {len(batch)} ({audio_s:.1f} audio-s) done "
+            f"{wall:.2f}s after dispatch, rtf={wall / audio_s:.4f}"
         )
-        i += batch_size
+        return audio_s
+
+    t_start = time.perf_counter()
+    futures = []
+    with ThreadPoolExecutor(max_workers=1) as writer:
+        i = 0
+        while i < len(items):
+            batch = items[i : i + batch_size]
+            max_len = max(len(w) for w, _ in batch)
+            padded_len = -(-max_len // bucket_quantum) * bucket_quantum
+            stacked = np.zeros((len(batch), padded_len), np.float32)
+            for j, (w, _) in enumerate(batch):
+                stacked[j, : len(w)] = w
+            import jax.numpy as jnp
+
+            enhanced_dev = mode_fn(jnp.asarray(stacked))
+            futures.append(writer.submit(_finish, enhanced_dev, batch,
+                                         time.perf_counter()))
+            i += batch_size
+        total_audio_s = sum(f.result() for f in futures)
+    total_wall = time.perf_counter() - t_start
 
     stats = {
         "files": len(items),
