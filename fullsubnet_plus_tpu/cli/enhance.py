@@ -120,7 +120,13 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
                 stacked[j, : len(w)] = w
             import jax.numpy as jnp
 
-            enhanced_dev = mode_fn(jnp.asarray(stacked))
+            if enhancer.inference_type in Enhancer.LENGTH_AWARE_MODES:
+                # masked statistics: bucket padding must not perturb a
+                # shorter utterance's normalization (models/*.apply)
+                lengths = np.asarray([len(w) for w, _ in batch])
+                enhanced_dev = mode_fn(jnp.asarray(stacked), lengths=lengths)
+            else:
+                enhanced_dev = mode_fn(jnp.asarray(stacked))
             futures.append(writer.submit(_finish, enhanced_dev, batch,
                                          time.perf_counter()))
             i += batch_size

@@ -17,25 +17,64 @@ import jax.numpy as jnp
 from fullsubnet_plus_tpu.constants import EPSILON
 
 
-def offline_laplace_norm(x: jnp.ndarray) -> jnp.ndarray:
+def _time_mask(x: jnp.ndarray, valid):
+    """[B]-valid-frame mask broadcast to x's trailing time axis, or None."""
+    if valid is None:
+        return None
+    t_idx = jnp.arange(x.shape[-1])
+    return (t_idx[None, :] < valid[:, None]).astype(x.dtype).reshape(
+        x.shape[0], *([1] * (x.ndim - 2)), x.shape[-1]
+    )
+
+
+def offline_laplace_norm(x: jnp.ndarray, valid=None) -> jnp.ndarray:
     """x / (utterance mean + 1e-5), mean over all non-batch dims.
 
     Reference: base_model.py:210-225 (the shipped FullSubNet+ norm).
+    `valid` ([B] int frame counts) restricts the statistics to the first
+    `valid[b]` frames of the time axis — used by batched serving so bucket
+    padding cannot perturb a shorter utterance's normalization (the padded
+    region is also zeroed so downstream convs see true zeros).
     """
+    mask = _time_mask(x, valid)
+    if mask is None:
+        axes = tuple(range(1, x.ndim))
+        mu = jnp.mean(x, axis=axes, keepdims=True)
+        return x / (mu + 1e-5)
     axes = tuple(range(1, x.ndim))
-    mu = jnp.mean(x, axis=axes, keepdims=True)
-    return x / (mu + 1e-5)
+    n_inner = 1
+    for d in x.shape[1:-1]:
+        n_inner *= d
+    count = n_inner * valid.astype(x.dtype)
+    count = count.reshape(x.shape[0], *([1] * (x.ndim - 1)))
+    mu = jnp.sum(x * mask, axis=axes, keepdims=True) / count
+    return x * mask / (mu + 1e-5)
 
 
-def offline_gaussian_norm(x: jnp.ndarray) -> jnp.ndarray:
+def offline_gaussian_norm(x: jnp.ndarray, valid=None) -> jnp.ndarray:
     """(x - mean) / (std + 1e-5); std uses Bessel's correction like torch.std.
 
-    Reference: base_model.py:260-275.
+    Reference: base_model.py:260-275. `valid` as in offline_laplace_norm;
+    note the masked variant's output is zeroed (not -mu/std) in the padded
+    region so downstream ops see true zeros.
     """
+    mask = _time_mask(x, valid)
     axes = tuple(range(1, x.ndim))
-    mu = jnp.mean(x, axis=axes, keepdims=True)
-    std = jnp.std(x, axis=axes, keepdims=True, ddof=1)
-    return (x - mu) / (std + 1e-5)
+    if mask is None:
+        mu = jnp.mean(x, axis=axes, keepdims=True)
+        std = jnp.std(x, axis=axes, keepdims=True, ddof=1)
+        return (x - mu) / (std + 1e-5)
+    n_inner = 1
+    for d in x.shape[1:-1]:
+        n_inner *= d
+    count = (n_inner * valid.astype(x.dtype)).reshape(
+        x.shape[0], *([1] * (x.ndim - 1))
+    )
+    mu = jnp.sum(x * mask, axis=axes, keepdims=True) / count
+    var = jnp.sum(jnp.square((x - mu) * mask), axis=axes, keepdims=True) / (
+        count - 1.0
+    )
+    return (x - mu) * mask / (jnp.sqrt(var) + 1e-5)
 
 
 def _flatten_bc(x: jnp.ndarray):
@@ -185,9 +224,24 @@ _NORMS = {
 
 
 def get_norm(norm_type: str):
-    """Norm dispatch, mirroring BaseModel.norm_wrapper (base_model.py:318-330)."""
+    """Norm dispatch, mirroring BaseModel.norm_wrapper (base_model.py:318-330).
+
+    Every returned fn accepts (x, valid=None). The offline norms implement
+    masked statistics; the causal variants (cumulative/forgetting/hybrid)
+    are inherently unaffected by trailing padding, so they zero the padded
+    region and keep their stats unchanged.
+    """
     if norm_type not in _NORMS:
         raise NotImplementedError(
             f"Unknown norm type {norm_type!r}; choose from {sorted(_NORMS)}"
         )
-    return _NORMS[norm_type]
+    fn = _NORMS[norm_type]
+    if norm_type in ("offline_laplace_norm", "offline_gaussian_norm"):
+        return fn
+
+    def causal_norm(x, valid=None):
+        y = fn(x)
+        mask = _time_mask(x, valid)
+        return y if mask is None else y * mask
+
+    return causal_norm

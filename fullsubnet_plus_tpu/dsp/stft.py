@@ -196,12 +196,19 @@ def istft(
     win_length: int = WIN_LENGTH,
     length: int | None = None,
     use_mag_phase: bool = False,
+    valid_frames=None,
 ) -> jnp.ndarray:
     """Inverse STFT matching ``torch.istft`` (least-squares OLA, center trim).
 
     Accepts [B, F, T] complex, [B, F, T, 2] stacked real/imag, or a
     (mag, phase) tuple with ``use_mag_phase=True`` — the reference wrapper's
     surface (audio_zen/acoustics/feature.py:34-65).
+
+    `valid_frames` ([B] int32): per-utterance frame counts for bucket-padded
+    batches. The least-squares window envelope then counts only each
+    utterance's own frames, so samples near a shorter utterance's end are
+    normalized exactly as its exact-length istft would (the static envelope
+    would over-divide them by the padding frames' windows).
     """
     if use_mag_phase:
         mag, phase = spec
@@ -221,8 +228,21 @@ def istft(
         imag, 1, 2
     ) @ jnp.asarray(si)
     signal = overlap_add(frames_time, n_fft, hop_length)
-    env = jnp.asarray(_window_envelope(n_fft, hop_length, win_length, frames))
-    signal = signal / env[None, :]
+    if valid_frames is None:
+        env = jnp.asarray(_window_envelope(n_fft, hop_length, win_length, frames))
+        signal = signal / env[None, :]
+    else:
+        window = hann_window(win_length)
+        if win_length < n_fft:
+            p = (n_fft - win_length) // 2
+            window = jnp.pad(window, (p, n_fft - win_length - p))
+        mask = (
+            jnp.arange(frames)[None, :] < valid_frames[:, None]
+        ).astype(real.dtype)
+        w2_frames = mask[:, :, None] * (window * window)[None, None, :]
+        env = overlap_add(w2_frames, n_fft, hop_length)
+        env = jnp.where(env > 1e-11, env, 1.0)
+        signal = signal / env
     pad = n_fft // 2
     signal = signal[:, pad:]
     default_len = (frames - 1) * hop_length

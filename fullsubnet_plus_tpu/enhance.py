@@ -31,12 +31,50 @@ from fullsubnet_plus_tpu.dsp.mask import decompress_cirm
 from fullsubnet_plus_tpu.dsp.unfold import freq_unfold
 
 
-def _crm_to_wave(crm, noisy_real, noisy_imag, length, n_fft, hop, win):
-    """decompress cIRM -> complex multiply -> iSTFT (inferencer.py:154-158)."""
+def _crm_to_wave(crm, noisy_real, noisy_imag, length, n_fft, hop, win,
+                 valid_frames=None):
+    """decompress cIRM -> complex multiply -> iSTFT (inferencer.py:154-158).
+
+    `valid_frames` (bucket-padded batches): frames beyond each utterance's
+    own count are zeroed (they hold boundary leakage × a post-sequence CRM
+    the exact-length run never produces) and the iSTFT normalizes with the
+    per-utterance window envelope."""
     crm = decompress_cirm(crm)
     enhanced_real = crm[..., 0] * noisy_real - crm[..., 1] * noisy_imag
     enhanced_imag = crm[..., 1] * noisy_real + crm[..., 0] * noisy_imag
-    return istft((enhanced_real, enhanced_imag), n_fft, hop, win, length=length)
+    if valid_frames is not None:
+        mask = (
+            jnp.arange(enhanced_real.shape[-1])[None, None, :]
+            < valid_frames[:, None, None]
+        ).astype(enhanced_real.dtype)
+        enhanced_real = enhanced_real * mask
+        enhanced_imag = enhanced_imag * mask
+    return istft((enhanced_real, enhanced_imag), n_fft, hop, win, length=length,
+                 valid_frames=valid_frames)
+
+
+def _reflect_fix_tail(noisy, lengths, n_fft):
+    """Rewrite the first n_fft//2 zero-padded samples after each utterance's
+    true end with the reflection of its tail, so the STFT frames straddling
+    the boundary match the exact-length run's center=True reflect padding
+    bitwise (torch.stft pads y[L..L+p) with y[2L-2-p]).
+
+    Built from per-row fixed-size dynamic slices, NOT a whole-array gather —
+    a [B, 160k] take_along_axis costs ~100 ms on v5e; this form is ~2 ms.
+    The array is temporarily extended by `pad` so a full-length row's
+    update lands entirely in the (discarded) extension."""
+    pad = n_fft // 2
+    # tail[j] = y[L-pad-1+j]; reversed gives y[L-2-j] = the reflection.
+    starts = jnp.maximum(lengths - pad - 1, 0)
+    tails = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (pad,))
+    )(noisy, starts)
+    reflect = tails[:, ::-1]
+    ext = jnp.pad(noisy, ((0, 0), (0, pad)))
+    ext = jax.vmap(
+        lambda row, r, s: jax.lax.dynamic_update_slice(row, r, (s,))
+    )(ext, reflect, lengths)
+    return ext[:, : noisy.shape[1]]
 
 
 class Enhancer:
@@ -80,12 +118,26 @@ class Enhancer:
             raise NotImplementedError(f"Unknown inference type {inference_type}")
         self._jitted = {}
 
+    # Modes that accept per-utterance true lengths for bucket-padded
+    # batches (masked statistics through the model — see models/*.apply
+    # `valid_frames`).
+    LENGTH_AWARE_MODES = ("mag_complex_full_band_crm_mask", "full_band_crm_mask")
+
     # -- public API ---------------------------------------------------------
 
-    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
-        """[B, L] noisy float32 -> [B, L] enhanced float32 (no rescale)."""
+    def enhance_batch(self, noisy: np.ndarray, lengths=None) -> np.ndarray:
+        """[B, L] noisy float32 -> [B, L] enhanced float32 (no rescale).
+
+        `lengths` ([B] true sample counts): when the batch is zero-padded to
+        a shared bucket length, pass each utterance's real length so the
+        model's global-over-time statistics ignore the padding — otherwise
+        a short utterance's output diverges from its exact-length result
+        (docs/PERFORMANCE.md "Batched serving correctness")."""
         fn = getattr(self, self.inference_type)
-        out = fn(jnp.asarray(noisy))
+        if lengths is not None and self.inference_type in self.LENGTH_AWARE_MODES:
+            out = fn(jnp.asarray(noisy), lengths=np.asarray(lengths))
+        else:
+            out = fn(jnp.asarray(noisy))
         return np.asarray(out)
 
     def enhance(self, noisy: np.ndarray) -> np.ndarray:
@@ -102,26 +154,41 @@ class Enhancer:
 
     def _jit(self, name, fn):
         if name not in self._jitted:
+            masked = name.endswith("_masked")
             if self.mesh is not None:
                 from fullsubnet_plus_tpu.parallel.mesh import data_sharding
 
-                jitted = jax.jit(fn, in_shardings=(data_sharding(self.mesh, 2),))
+                shardings = (data_sharding(self.mesh, 2),)
+                if masked:  # the [B] valid_frames vector shards with batch
+                    shardings += (data_sharding(self.mesh, 1),)
+                jitted = jax.jit(fn, in_shardings=shardings)
                 mesh = self.mesh
 
-                def run(noisy, _jitted=jitted, _mesh=mesh):
+                def run(*args, _jitted=jitted, _mesh=mesh):
                     with jax.set_mesh(_mesh):
-                        return _jitted(noisy)
+                        return _jitted(*args)
 
                 self._jitted[name] = run
             else:
                 self._jitted[name] = jax.jit(fn)
         return self._jitted[name]
 
-    def mag_complex_full_band_crm_mask(self, noisy):
-        """Shipped default: 3-view model -> full-band cIRM (inferencer.py:140-165)."""
+    def mag_complex_full_band_crm_mask(self, noisy, lengths=None):
+        """Shipped default: 3-view model -> full-band cIRM (inferencer.py:140-165).
 
-        def fn(noisy):
+        `lengths`: true per-utterance sample counts for bucket-padded
+        batches. The masked path (a) rewrites the padded tail with the
+        reflection torch.stft's center padding would see, (b) masks every
+        global-over-time statistic in the model to the valid frames, and
+        (c) normalizes the iSTFT with a per-utterance window envelope — so
+        each row matches its exact-length run."""
+
+        def fn(noisy, lengths=None):
             length = noisy.shape[-1]
+            valid_frames = None
+            if lengths is not None:
+                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft)
+                valid_frames = (1 + lengths // self.hop).astype(jnp.int32)
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
             if self.compute_dtype is not None:
                 m_in, r_in, i_in = (
@@ -129,28 +196,44 @@ class Enhancer:
                 )
             else:
                 m_in, r_in, i_in = mag, real, imag
+            kw = {} if valid_frames is None else {"valid_frames": valid_frames}
             crm = self.model_def.apply(
                 self.params, m_in[:, None], r_in[:, None], i_in[:, None],
-                self.model_config, training=False,
+                self.model_config, training=False, **kw,
             ).astype(jnp.float32)
             crm = jnp.transpose(crm, (0, 2, 3, 1))
-            return _crm_to_wave(crm, real, imag, length, self.n_fft, self.hop, self.win)
+            return _crm_to_wave(crm, real, imag, length, self.n_fft, self.hop,
+                                self.win, valid_frames=valid_frames)
 
-        return self._jit("mag_complex", fn)(noisy)
+        if lengths is None:
+            return self._jit("mag_complex", fn)(noisy)
+        return self._jit("mag_complex_masked", fn)(
+            noisy, jnp.asarray(lengths, jnp.int32)
+        )
 
-    def full_band_crm_mask(self, noisy):
+    def full_band_crm_mask(self, noisy, lengths=None):
         """Magnitude-only model -> full-band cIRM (inferencer.py:116-138)."""
 
-        def fn(noisy):
+        def fn(noisy, lengths=None):
             length = noisy.shape[-1]
+            valid_frames = None
+            if lengths is not None:
+                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft)
+                valid_frames = (1 + lengths // self.hop).astype(jnp.int32)
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
+            kw = {} if valid_frames is None else {"valid_frames": valid_frames}
             crm = self.model_def.apply(
-                self.params, mag[:, None], self.model_config, training=False
+                self.params, mag[:, None], self.model_config, training=False, **kw
             )
             crm = jnp.transpose(crm, (0, 2, 3, 1))
-            return _crm_to_wave(crm, real, imag, length, self.n_fft, self.hop, self.win)
+            return _crm_to_wave(crm, real, imag, length, self.n_fft, self.hop,
+                                self.win, valid_frames=valid_frames)
 
-        return self._jit("full_band", fn)(noisy)
+        if lengths is None:
+            return self._jit("full_band", fn)(noisy)
+        return self._jit("full_band_masked", fn)(
+            noisy, jnp.asarray(lengths, jnp.int32)
+        )
 
     def complex_full_band_crm_mask(self, noisy):
         """Stacked real/imag 2-channel input variant (inferencer.py:167-189)."""

@@ -72,15 +72,32 @@ def apply(
     config: FullSubNetConfig = FullSubNetConfig(),
     *,
     training: bool = False,
+    valid_frames=None,
 ) -> jnp.ndarray:
-    """[B, 1, F, T] -> compressed cIRM [B, 2, F(, /groups if training), T]."""
+    """[B, 1, F, T] -> compressed cIRM [B, 2, F(, /groups if training), T].
+
+    `valid_frames` ([B] int32, serving only): masked offline-norm statistics
+    for bucket-padded batches (see fullsubnet_plus.apply); the LSTMs are
+    causal so only the two norms need it here."""
     assert noisy_mag.ndim == 4
     norm = get_norm(config.norm_type)
     noisy_mag = jnp.pad(noisy_mag, [(0, 0)] * 3 + [(0, config.look_ahead)])
     batch_size, num_channels, num_freqs, num_frames = noisy_mag.shape
     assert num_channels == 1
 
-    fb_input = norm(noisy_mag).reshape(batch_size, num_freqs, num_frames)
+    valid = None
+    if valid_frames is not None:
+        assert not training, "valid_frames is a serving-path feature"
+        # entry mask zeroes beyond the DATA frames; the stats count includes
+        # the look_ahead zeros (see fullsubnet_plus.apply)
+        data_valid = jnp.minimum(valid_frames, num_frames)
+        valid = jnp.minimum(valid_frames + config.look_ahead, num_frames)
+        entry_mask = (
+            jnp.arange(num_frames)[None, :] < data_valid[:, None]
+        ).astype(noisy_mag.dtype)[:, None, None, :]
+        noisy_mag = noisy_mag * entry_mask
+
+    fb_input = norm(noisy_mag, valid=valid).reshape(batch_size, num_freqs, num_frames)
     fb_output = sequence_model_apply(
         params["fb_model"],
         fb_input,
@@ -98,7 +115,7 @@ def apply(
     mag_unf = freq_unfold(noisy_mag, config.sb_num_neighbors).reshape(
         batch_size, num_freqs, sb_w, num_frames
     )
-    sb_input = norm(jnp.concatenate([mag_unf, fb_unf], axis=2))
+    sb_input = norm(jnp.concatenate([mag_unf, fb_unf], axis=2), valid=valid)
 
     if training:
         sb_input = drop_band(

@@ -132,11 +132,21 @@ def apply(
     config: FullSubNetPlusConfig = FullSubNetPlusConfig(),
     *,
     training: bool = False,
+    valid_frames=None,
 ) -> jnp.ndarray:
     """[B, 1, F, T] x3 -> compressed cIRM [B, 2, F(, /groups if training), T].
 
     `training=True` applies drop_band (reference gates on batch_size > 1,
     fullsubnet_plus.py:192-196; we make it explicit so jit traces are stable).
+
+    `valid_frames` ([B] int32, serving only): per-utterance valid STFT frame
+    counts for bucket-padded batches. Every global-over-time statistic in
+    the model (offline norms, MulCA pooling, TCN GroupNorms) then sees
+    exactly the frames the exact-length run would — without it, zero
+    padding dilutes those statistics and the output of a short utterance
+    in a padded batch diverges from its per-file result (measured 3.8 dB
+    agreement at 13 % padding; >40 dB with masking). The reference never
+    hits this because it only runs exact-length at batch 1.
     """
     assert noisy_mag.ndim == 4, f"expected [B, 1, F, T], got {noisy_mag.shape}"
     norm = get_norm(config.norm_type)
@@ -148,18 +158,36 @@ def apply(
     batch_size, num_channels, num_freqs, num_frames = noisy_mag.shape
     assert num_channels == 1, "FullSubNet+ takes single-channel spectrogram views"
 
+    valid = None
+    if valid_frames is not None:
+        # Two distinct frame counts: the entry mask zeroes everything beyond
+        # the DATA frames (padded STFT frames there hold boundary leakage,
+        # not the exact run's appended zeros), while the statistics count
+        # includes the look_ahead zeros exactly as the exact-length run's
+        # stats do (the reference norms AFTER the look-ahead pad).
+        data_valid = jnp.minimum(valid_frames, num_frames)
+        valid = jnp.minimum(valid_frames + look_ahead, num_frames)
+        entry_mask = (
+            jnp.arange(num_frames)[None, :] < data_valid[:, None]
+        ).astype(noisy_mag.dtype)[:, None, None, :]
+        noisy_mag = noisy_mag * entry_mask
+        noisy_real = noisy_real * entry_mask
+        noisy_imag = noisy_imag * entry_mask
+
     ca_model = config.channel_attention_model
 
     def branch(ca_params, fb_params, x):
-        fb_in = norm(x).reshape(batch_size, num_freqs, num_frames)
+        fb_in = norm(x, valid=valid).reshape(batch_size, num_freqs, num_frames)
         fb_in = channel_attention_apply(
-            ca_params, ca_model, fb_in, kersize=config.kersize, subband_num=config.subband_num
+            ca_params, ca_model, fb_in, kersize=config.kersize,
+            subband_num=config.subband_num, valid=valid,
         )
         fb_out = sequence_model_apply(
             fb_params,
             fb_in,
             sequence_model="TCN",
             output_activate_function=config.fb_output_activate_function,
+            valid=valid,
         )
         return fb_in, fb_out.reshape(batch_size, 1, num_freqs, num_frames)
 
@@ -172,6 +200,7 @@ def apply(
         # (fullsubnet_plus.py:146-153): reflect-pad freq to a multiple of
         # subband_num, fold subband_num freqs into the time axis for the
         # attention, then unfold back.
+        assert valid is None, "valid_frames masking needs subband_num == 1"
         pad_num = config.subband_num - num_freqs % config.subband_num
         normed = norm(noisy_mag)
         padded = jnp.pad(
@@ -212,9 +241,10 @@ def apply(
     ).reshape(batch_size, num_freqs, sb_w, num_frames)
 
     sb_input = jnp.concatenate([mag_unf, fb_unf, fbr_unf, fbi_unf], axis=2)
-    sb_input = norm(sb_input)  # [B, F, 34, T]
+    sb_input = norm(sb_input, valid=valid)  # [B, F, 34, T]
 
     if training:
+        assert valid is None, "valid_frames is a serving-path feature"
         sb_input = drop_band(
             jnp.transpose(sb_input, (0, 2, 1, 3)), config.num_groups_in_drop_band
         )

@@ -47,15 +47,33 @@ def tsse_init(key, num_channels: int, reduction_ratio: int = 2, kersize=(3, 5, 1
     }
 
 
-def tsse_apply(params, x: jnp.ndarray, kersize=(3, 5, 10), subband_num: int = 1) -> jnp.ndarray:
-    """x: [B, C, T] -> gated [B, C, T]."""
+def tsse_apply(params, x: jnp.ndarray, kersize=(3, 5, 10), subband_num: int = 1,
+               valid=None) -> jnp.ndarray:
+    """x: [B, C, T] -> gated [B, C, T].
+
+    `valid` ([B] frame counts): masked pooling for bucket-padded batched
+    serving — each branch's AdaptiveAvgPool averages over exactly the
+    frames its valid conv would produce on the exact-length input
+    (valid - k + 1), so the gate matches the reference's per-file run.
+    Requires the padded region of x to be zero (the caller's masked norm
+    guarantees it); only the shipped subband_num == 1 layout is supported
+    with masking."""
     num_channels = x.shape[1]
     groups = num_channels // subband_num
+    assert valid is None or subband_num == 1, "masked TSSE needs subband_num=1"
 
     def branch(conv_params, k):
         # valid depthwise conv -> [B, C, T-k+1], mean over time, ReLU
         y = conv1d(x, conv_params["weight"], conv_params["bias"], groups=groups)
-        return jax.nn.relu(jnp.mean(y, axis=-1))  # [B, C]
+        if valid is None:
+            return jax.nn.relu(jnp.mean(y, axis=-1))  # [B, C]
+        n_out = jnp.maximum(valid - k + 1, 1).astype(y.dtype)  # [B]
+        mask = (
+            jnp.arange(y.shape[-1])[None, :] < (valid - k + 1)[:, None]
+        ).astype(y.dtype)
+        return jax.nn.relu(
+            jnp.sum(y * mask[:, None, :], axis=-1) / n_out[:, None]
+        )
 
     feats = jnp.stack(
         [
@@ -83,8 +101,16 @@ def se_init(key, num_channels: int, reduction_ratio: int = 2, dtype=jnp.float32)
     }
 
 
-def se_apply(params, x: jnp.ndarray) -> jnp.ndarray:
-    squeeze = jnp.mean(x, axis=2)  # [B, C]
+def _masked_mean_t(x: jnp.ndarray, valid) -> jnp.ndarray:
+    """[B, C, T] -> [B, C] mean over the first valid[b] frames (padded
+    region must be zero)."""
+    if valid is None:
+        return jnp.mean(x, axis=2)
+    return jnp.sum(x, axis=2) / valid.astype(x.dtype)[:, None]
+
+
+def se_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
+    squeeze = _masked_mean_t(x, valid)  # [B, C]
     gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
     return x * gate[:, :, None]
 
@@ -99,9 +125,9 @@ def eca_init(key, channel: int, k_size: int = 3, dtype=jnp.float32):
     return {"conv": {"weight": conv["weight"]}, "k_size": k_size}
 
 
-def eca_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+def eca_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
     k_size = params["k_size"]
-    squeeze = jnp.mean(x, axis=2)[:, None, :]  # [B, 1, C]
+    squeeze = _masked_mean_t(x, valid)[:, None, :]  # [B, 1, C]
     pad = (k_size - 1) // 2
     y = conv1d(squeeze, params["conv"]["weight"], None, padding=pad)
     gate = jax.nn.sigmoid(y[:, 0, :])  # [B, C]
@@ -121,9 +147,13 @@ def cbam_init(key, num_channels: int, reduction_ratio: int = 2, dtype=jnp.float3
     }
 
 
-def cbam_apply(params, x: jnp.ndarray) -> jnp.ndarray:
-    avg_pool = jnp.mean(x, axis=2)
-    max_pool = jnp.max(x, axis=2)
+def cbam_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
+    avg_pool = _masked_mean_t(x, valid)
+    if valid is None:
+        max_pool = jnp.max(x, axis=2)
+    else:
+        mask = jnp.arange(x.shape[-1])[None, None, :] < valid[:, None, None]
+        max_pool = jnp.max(jnp.where(mask, x, -jnp.inf), axis=2)
     # shared fc1, branch ReLUs summed BEFORE fc2 (attention_model.py:325-329)
     hidden = jax.nn.relu(_linear(params["fc1"], avg_pool)) + jax.nn.relu(
         _linear(params["fc1"], max_pool)
@@ -307,15 +337,19 @@ def channel_attention_init(key, model: str, num_channels: int, kersize=(3, 5, 10
 
 
 def channel_attention_apply(params, model: str, x: jnp.ndarray, kersize=(3, 5, 10),
-                            subband_num: int = 1) -> jnp.ndarray:
+                            subband_num: int = 1, valid=None) -> jnp.ndarray:
+    """`valid`: masked time pooling for bucket-padded batched serving
+    (TSSE/SE/ECA/CBAM; the unshipped DeepTSSE/TSSE_ATT variants reject it)."""
     if model == "TSSE":
-        return tsse_apply(params, x, kersize=kersize, subband_num=subband_num)
+        return tsse_apply(params, x, kersize=kersize, subband_num=subband_num,
+                          valid=valid)
     if model == "SE":
-        return se_apply(params, x)
+        return se_apply(params, x, valid=valid)
     if model == "ECA":
-        return eca_apply(params, x)
+        return eca_apply(params, x, valid=valid)
     if model == "CBAM":
-        return cbam_apply(params, x)
+        return cbam_apply(params, x, valid=valid)
+    assert valid is None, f"masked pooling not wired for {model}"
     if model == "DeepTSSE":
         return deep_tsse_apply(params, x)
     if model == "TSSE_ATT":

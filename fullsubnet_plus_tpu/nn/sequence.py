@@ -95,6 +95,7 @@ def sequence_model_apply(
     fast: bool = False,
     fold_axes: tuple | None = None,
     quantized: bool = False,
+    valid=None,
 ) -> jnp.ndarray:
     """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
 
@@ -106,11 +107,13 @@ def sequence_model_apply(
     over; the kernel then runs under shard_map so each chip sweeps only its
     own fold rows. `quantized=True` (serving only, forward-only) runs the
     int8-recurrent kernel instead — see ops/lstm_pallas.py for the scheme
-    and measured speed/SNR.
+    and measured speed/SNR. `valid` ([B] frame counts) gives the TCN path
+    masked GroupNorm statistics for bucket-padded batches; the recurrent
+    paths are causal and need no masking.
     """
     assert x.ndim == 3
     if sequence_model in ("TCN", "TCN-subband"):
-        y = tcn_stack_apply(params["seq"], x)  # [B, F, T]
+        y = tcn_stack_apply(params["seq"], x, valid=valid)  # [B, F, T]
         o = jnp.swapaxes(y, 1, 2) @ params["fc_output_layer"]["weight"] + params[
             "fc_output_layer"
         ]["bias"]  # [B, T, O]

@@ -65,12 +65,26 @@ def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def group_norm1(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-8):
-    """nn.GroupNorm(1, C): normalize over (C, T) per sample. x [B, C, T]."""
-    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
+def group_norm1(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                eps: float = 1e-8, valid=None):
+    """nn.GroupNorm(1, C): normalize over (C, T) per sample. x [B, C, T].
+
+    `valid` ([B] frame counts) restricts the statistics to the first
+    valid[b] frames and zeroes the rest of the output, so a bucket-padded
+    batch normalizes each utterance exactly as its exact-length run would
+    (the reference always runs exact-length at batch 1)."""
+    if valid is None:
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + eps)
+        return x * weight[None, :, None] + bias[None, :, None]
+    mask = (jnp.arange(x.shape[-1])[None, :] < valid[:, None]).astype(x.dtype)
+    mask = mask[:, None, :]
+    count = (x.shape[1] * valid.astype(x.dtype))[:, None, None]
+    mu = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / count
+    var = jnp.sum(jnp.square((x - mu) * mask), axis=(1, 2), keepdims=True) / count
     x = (x - mu) * jax.lax.rsqrt(var + eps)
-    return x * weight[None, :, None] + bias[None, :, None]
+    return (x * weight[None, :, None] + bias[None, :, None]) * mask
 
 
 def tcn_block_init(
@@ -109,12 +123,18 @@ def tcn_block_apply(
     dilation: int = 1,
     causal: bool = False,
     use_skip_connection: bool = True,
+    valid=None,
 ) -> jnp.ndarray:
-    """x: [B, C, T] -> [B, C, T]. Matches TCNBlock.forward (causal_conv.py:96-117)."""
+    """x: [B, C, T] -> [B, C, T]. Matches TCNBlock.forward (causal_conv.py:96-117).
+
+    `valid`: per-sample valid frame counts for masked GroupNorm statistics
+    (batched serving with bucket padding). The masked GroupNorms re-zero
+    the padded region, so the convs' zero-padding at each utterance's true
+    end matches the exact-length run's."""
     padding = dilation * (kernel_size - 1) if causal else (dilation * (kernel_size - 1)) // 2
     hidden = params["depthwise"]["weight"].shape[0]
     y = conv1d(x, params["conv1x1"]["weight"], params["conv1x1"]["bias"])
-    y = group_norm1(prelu(y, params["prelu1"]), **params["norm1"])
+    y = group_norm1(prelu(y, params["prelu1"]), **params["norm1"], valid=valid)
     y = conv1d(
         y,
         params["depthwise"]["weight"],
@@ -125,9 +145,15 @@ def tcn_block_apply(
     )
     if causal and padding:
         y = y[:, :, :-padding]
-    y = group_norm1(prelu(y, params["prelu2"]), **params["norm2"])
+    y = group_norm1(prelu(y, params["prelu2"]), **params["norm2"], valid=valid)
     out = conv1d(y, params["sconv"]["weight"], params["sconv"]["bias"])
-    return x + out if use_skip_connection else out
+    out = x + out if use_skip_connection else out
+    if valid is not None:
+        # keep the invariant "zero beyond valid" (sconv bias + skip would
+        # otherwise re-introduce nonzeros the next conv would smear inward)
+        mask = (jnp.arange(out.shape[-1])[None, :] < valid[:, None]).astype(out.dtype)
+        out = out * mask[:, None, :]
+    return out
 
 
 # STCNBlock in the reference (causal_conv.py:120-170) is a verbatim duplicate
@@ -261,8 +287,8 @@ def tcn_stack_init(key, channels: int, hidden_channel: int = 512, dtype=jnp.floa
     }
 
 
-def tcn_stack_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+def tcn_stack_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
     """8 TCN blocks + final ReLU (sequence_model.py:47-58). x: [B, C, T]."""
     for block, dilation in zip(params["blocks"], TCN_DILATIONS):
-        x = tcn_block_apply(block, x, dilation=dilation)
+        x = tcn_block_apply(block, x, dilation=dilation, valid=valid)
     return jax.nn.relu(x)
