@@ -140,19 +140,22 @@ def sequence_model_apply(
                 # custom VJP keeps the backward fused too. The quantized
                 # kernel is the int8-recurrent serving path (forward-only).
                 interp = FORCE_PALLAS_INTERPRET
-                plain, sharded = (
-                    (stacked_lstm2_quantized, stacked_lstm2_quantized_sharded)
+                # tile 512 measures ~2 % faster for the int8 kernel (its
+                # halved MXU passes leave more latency to hide); bf16/fp32
+                # are flat at 512 and keep 256 (docs/PERFORMANCE.md).
+                plain, sharded, tile = (
+                    (stacked_lstm2_quantized, stacked_lstm2_quantized_sharded, 512)
                     if quantized
-                    else (stacked_lstm2_train, stacked_lstm2_train_sharded)
+                    else (stacked_lstm2_train, stacked_lstm2_train_sharded, 256)
                 )
                 if fold_axes:
                     o = sharded(
                         params["seq"], xt, params["fc_output_layer"], fold_axes,
-                        256, interp,
+                        tile, interp,
                     )
                 else:
                     o = plain(
-                        params["seq"], xt, params["fc_output_layer"], 256, interp
+                        params["seq"], xt, params["fc_output_layer"], tile, interp
                     )
                 if output_activate_function:
                     o = _ACTIVATIONS[output_activate_function](o)
