@@ -75,3 +75,28 @@ def test_training_improves_si_sdr(rng):
         gains.append(after - before)
     mean_gain = float(np.mean(gains))
     assert mean_gain > 3.0, f"expected >3 dB SI-SDR gain, got {mean_gain:.2f} ({gains})"
+
+    # The int8-recurrent serving mode must preserve the TRAINED model's
+    # denoising quality, not just agree on random weights (the claim behind
+    # making int8 the serving default — docs/PERFORMANCE.md). Force the
+    # Pallas kernel in interpret mode on CPU.
+    import fullsubnet_plus_tpu.nn.sequence as seq
+    from fullsubnet_plus_tpu.enhance import Enhancer
+
+    old = seq.FORCE_PALLAS_INTERPRET
+    seq.FORCE_PALLAS_INTERPRET = True
+    try:
+        e8 = Enhancer(
+            FULLSUBNET_PLUS, CFG, state.params, compute_dtype="int8", **ACOUSTICS
+        )
+        out8 = e8.enhance_batch(noisy[:3])
+    finally:
+        seq.FORCE_PALLAS_INTERPRET = old
+    gains8 = [
+        si_sdr(clean[b], out8[b]) - si_sdr(clean[b], noisy[b]) for b in range(3)
+    ]
+    mean_gain8 = float(np.mean(gains8))
+    assert mean_gain8 > mean_gain - 0.5, (
+        f"int8 serving lost denoising quality: {mean_gain8:.2f} vs fp32 "
+        f"{mean_gain:.2f} dB gain"
+    )
