@@ -85,10 +85,12 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
     # finished batch (the blocking device→host transfer), rescales, and
     # writes wavs. Dispatch, transfer, and file I/O therefore overlap —
     # the reference loops file-by-file fully serialized (base_inferencer
-    # .py:134-160).
+    # .py:134-160). A bounded window of in-flight batches keeps queued
+    # device buffers from growing with the dataset (HBM backpressure).
     from concurrent.futures import ThreadPoolExecutor
 
-    mode_fn = getattr(enhancer, enhancer.inference_type)
+    length_aware = enhancer.inference_type in Enhancer.LENGTH_AWARE_MODES
+    in_flight_window = 4
 
     def _finish(enhanced_dev, batch, t_dispatch):
         enhanced = np.asarray(enhanced_dev)  # blocks until the batch is done
@@ -109,6 +111,7 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
 
     t_start = time.perf_counter()
     futures = []
+    total_audio_s = 0.0
     with ThreadPoolExecutor(max_workers=1) as writer:
         i = 0
         while i < len(items):
@@ -118,19 +121,20 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
             stacked = np.zeros((len(batch), padded_len), np.float32)
             for j, (w, _) in enumerate(batch):
                 stacked[j, : len(w)] = w
-            import jax.numpy as jnp
-
-            if enhancer.inference_type in Enhancer.LENGTH_AWARE_MODES:
-                # masked statistics: bucket padding must not perturb a
-                # shorter utterance's normalization (models/*.apply)
-                lengths = np.asarray([len(w) for w, _ in batch])
-                enhanced_dev = mode_fn(jnp.asarray(stacked), lengths=lengths)
-            else:
-                enhanced_dev = mode_fn(jnp.asarray(stacked))
+            # masked statistics: bucket padding must not perturb a shorter
+            # utterance's normalization (models/*.apply valid_frames)
+            lengths = (
+                np.asarray([len(w) for w, _ in batch]) if length_aware else None
+            )
+            enhanced_dev = enhancer.enhance_batch(
+                stacked, lengths=lengths, blocking=False
+            )
             futures.append(writer.submit(_finish, enhanced_dev, batch,
                                          time.perf_counter()))
+            if len(futures) >= in_flight_window:
+                total_audio_s += futures.pop(0).result()
             i += batch_size
-        total_audio_s = sum(f.result() for f in futures)
+        total_audio_s += sum(f.result() for f in futures)
     total_wall = time.perf_counter() - t_start
 
     stats = {

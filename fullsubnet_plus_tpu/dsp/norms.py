@@ -17,12 +17,18 @@ import jax.numpy as jnp
 from fullsubnet_plus_tpu.constants import EPSILON
 
 
+def time_mask(num_frames: int, valid, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, num_frames] 1/0 mask of each row's first valid[b] frames — THE
+    mask primitive for length-masked batched serving (every consumer
+    reshapes it onto its own broadcast layout)."""
+    return (jnp.arange(num_frames)[None, :] < valid[:, None]).astype(dtype)
+
+
 def _time_mask(x: jnp.ndarray, valid):
     """[B]-valid-frame mask broadcast to x's trailing time axis, or None."""
     if valid is None:
         return None
-    t_idx = jnp.arange(x.shape[-1])
-    return (t_idx[None, :] < valid[:, None]).astype(x.dtype).reshape(
+    return time_mask(x.shape[-1], valid, x.dtype).reshape(
         x.shape[0], *([1] * (x.ndim - 2)), x.shape[-1]
     )
 

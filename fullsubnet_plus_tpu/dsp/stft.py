@@ -236,9 +236,9 @@ def istft(
         if win_length < n_fft:
             p = (n_fft - win_length) // 2
             window = jnp.pad(window, (p, n_fft - win_length - p))
-        mask = (
-            jnp.arange(frames)[None, :] < valid_frames[:, None]
-        ).astype(real.dtype)
+        from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+        mask = time_mask(frames, valid_frames, real.dtype)
         w2_frames = mask[:, :, None] * (window * window)[None, None, :]
         env = overlap_add(w2_frames, n_fft, hop_length)
         env = jnp.where(env > 1e-11, env, 1.0)

@@ -43,38 +43,46 @@ def _crm_to_wave(crm, noisy_real, noisy_imag, length, n_fft, hop, win,
     enhanced_real = crm[..., 0] * noisy_real - crm[..., 1] * noisy_imag
     enhanced_imag = crm[..., 1] * noisy_real + crm[..., 0] * noisy_imag
     if valid_frames is not None:
-        mask = (
-            jnp.arange(enhanced_real.shape[-1])[None, None, :]
-            < valid_frames[:, None, None]
-        ).astype(enhanced_real.dtype)
+        from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+        mask = time_mask(
+            enhanced_real.shape[-1], valid_frames, enhanced_real.dtype
+        )[:, None, :]
         enhanced_real = enhanced_real * mask
         enhanced_imag = enhanced_imag * mask
     return istft((enhanced_real, enhanced_imag), n_fft, hop, win, length=length,
                  valid_frames=valid_frames)
 
 
-def _reflect_fix_tail(noisy, lengths, n_fft):
-    """Rewrite the first n_fft//2 zero-padded samples after each utterance's
-    true end with the reflection of its tail, so the STFT frames straddling
-    the boundary match the exact-length run's center=True reflect padding
-    bitwise (torch.stft pads y[L..L+p) with y[2L-2-p]).
+def _reflect_fix_tail(noisy, lengths, n_fft, hop):
+    """Extend the bucket by one reflect-fixed region so every valid STFT
+    frame reads the exact-length run's center=True reflect padding bitwise
+    (torch.stft pads y[L..L+p) with y[2L-2-p]).
+
+    Returns a [B, Lp + pad_ext] array: extending (rather than rewriting in
+    place) matters when an utterance ends within n_fft//2 of the bucket
+    edge — there the bucket's own reflect pad would otherwise reach into
+    the last valid frame with a reflection-of-the-reflection. The caller
+    keeps `length=Lp` for the final waveform cut; the extra trailing frames
+    are beyond every row's valid count and masked.
 
     Built from per-row fixed-size dynamic slices, NOT a whole-array gather —
-    a [B, 160k] take_along_axis costs ~100 ms on v5e; this form is ~2 ms.
-    The array is temporarily extended by `pad` so a full-length row's
-    update lands entirely in the (discarded) extension."""
+    a [B, 160k] take_along_axis costs ~100 ms on v5e; this form is ~2 ms."""
     pad = n_fft // 2
+    pad_ext = -(-pad // hop) * hop  # keep the frame grid aligned
+    ext = jnp.pad(noisy, ((0, 0), (0, pad_ext)))
     # tail[j] = y[L-pad-1+j]; reversed gives y[L-2-j] = the reflection.
     starts = jnp.maximum(lengths - pad - 1, 0)
     tails = jax.vmap(
         lambda row, s: jax.lax.dynamic_slice(row, (s,), (pad,))
     )(noisy, starts)
     reflect = tails[:, ::-1]
-    ext = jnp.pad(noisy, ((0, 0), (0, pad)))
+    # pad_ext >= pad by construction, so a full-length row's update lands
+    # entirely inside the (masked, then cut) extension.
     ext = jax.vmap(
         lambda row, r, s: jax.lax.dynamic_update_slice(row, r, (s,))
     )(ext, reflect, lengths)
-    return ext[:, : noisy.shape[1]]
+    return ext[:, : noisy.shape[1] + pad_ext]
 
 
 class Enhancer:
@@ -125,20 +133,34 @@ class Enhancer:
 
     # -- public API ---------------------------------------------------------
 
-    def enhance_batch(self, noisy: np.ndarray, lengths=None) -> np.ndarray:
+    def enhance_batch(self, noisy: np.ndarray, lengths=None, *,
+                      blocking: bool = True):
         """[B, L] noisy float32 -> [B, L] enhanced float32 (no rescale).
 
         `lengths` ([B] true sample counts): when the batch is zero-padded to
         a shared bucket length, pass each utterance's real length so the
         model's global-over-time statistics ignore the padding — otherwise
         a short utterance's output diverges from its exact-length result
-        (docs/PERFORMANCE.md "Batched serving correctness")."""
+        (docs/PERFORMANCE.md "Batched serving correctness"). Raises for
+        inference types that cannot honor it (silent padding contamination
+        would defeat the point of passing lengths).
+
+        `blocking=False` returns the device array without waiting — the
+        dispatch is asynchronous, so callers can pipeline the device→host
+        fetch (np.asarray) against the next batch's dispatch (see
+        cli/enhance.py)."""
         fn = getattr(self, self.inference_type)
-        if lengths is not None and self.inference_type in self.LENGTH_AWARE_MODES:
+        if lengths is not None:
+            if self.inference_type not in self.LENGTH_AWARE_MODES:
+                raise ValueError(
+                    f"inference type {self.inference_type!r} cannot honor "
+                    f"`lengths` (only {self.LENGTH_AWARE_MODES}); pad-free "
+                    "exact-length batches or drop the argument explicitly"
+                )
             out = fn(jnp.asarray(noisy), lengths=np.asarray(lengths))
         else:
             out = fn(jnp.asarray(noisy))
-        return np.asarray(out)
+        return out if not blocking else np.asarray(out)
 
     def enhance(self, noisy: np.ndarray) -> np.ndarray:
         """Single utterance [L] -> [L], with the reference's output rescale
@@ -184,10 +206,10 @@ class Enhancer:
         each row matches its exact-length run."""
 
         def fn(noisy, lengths=None):
-            length = noisy.shape[-1]
+            length = noisy.shape[-1]  # before the reflect-fix extension
             valid_frames = None
             if lengths is not None:
-                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft)
+                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft, self.hop)
                 valid_frames = (1 + lengths // self.hop).astype(jnp.int32)
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
             if self.compute_dtype is not None:
@@ -215,10 +237,10 @@ class Enhancer:
         """Magnitude-only model -> full-band cIRM (inferencer.py:116-138)."""
 
         def fn(noisy, lengths=None):
-            length = noisy.shape[-1]
+            length = noisy.shape[-1]  # before the reflect-fix extension
             valid_frames = None
             if lengths is not None:
-                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft)
+                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft, self.hop)
                 valid_frames = (1 + lengths // self.hop).astype(jnp.int32)
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
             kw = {} if valid_frames is None else {"valid_frames": valid_frames}

@@ -68,9 +68,9 @@ def tsse_apply(params, x: jnp.ndarray, kersize=(3, 5, 10), subband_num: int = 1,
         if valid is None:
             return jax.nn.relu(jnp.mean(y, axis=-1))  # [B, C]
         n_out = jnp.maximum(valid - k + 1, 1).astype(y.dtype)  # [B]
-        mask = (
-            jnp.arange(y.shape[-1])[None, :] < (valid - k + 1)[:, None]
-        ).astype(y.dtype)
+        from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+        mask = time_mask(y.shape[-1], valid - k + 1, y.dtype)
         return jax.nn.relu(
             jnp.sum(y * mask[:, None, :], axis=-1) / n_out[:, None]
         )
@@ -152,7 +152,9 @@ def cbam_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
     if valid is None:
         max_pool = jnp.max(x, axis=2)
     else:
-        mask = jnp.arange(x.shape[-1])[None, None, :] < valid[:, None, None]
+        from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+        mask = time_mask(x.shape[-1], valid, jnp.bool_)[:, None, :]
         max_pool = jnp.max(jnp.where(mask, x, -jnp.inf), axis=2)
     # shared fc1, branch ReLUs summed BEFORE fc2 (attention_model.py:325-329)
     hidden = jax.nn.relu(_linear(params["fc1"], avg_pool)) + jax.nn.relu(

@@ -78,8 +78,9 @@ def group_norm1(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
         var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
         x = (x - mu) * jax.lax.rsqrt(var + eps)
         return x * weight[None, :, None] + bias[None, :, None]
-    mask = (jnp.arange(x.shape[-1])[None, :] < valid[:, None]).astype(x.dtype)
-    mask = mask[:, None, :]
+    from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+    mask = time_mask(x.shape[-1], valid, x.dtype)[:, None, :]
     count = (x.shape[1] * valid.astype(x.dtype))[:, None, None]
     mu = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / count
     var = jnp.sum(jnp.square((x - mu) * mask), axis=(1, 2), keepdims=True) / count
@@ -151,8 +152,9 @@ def tcn_block_apply(
     if valid is not None:
         # keep the invariant "zero beyond valid" (sconv bias + skip would
         # otherwise re-introduce nonzeros the next conv would smear inward)
-        mask = (jnp.arange(out.shape[-1])[None, :] < valid[:, None]).astype(out.dtype)
-        out = out * mask[:, None, :]
+        from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+        out = out * time_mask(out.shape[-1], valid, out.dtype)[:, None, :]
     return out
 
 

@@ -187,3 +187,60 @@ def test_length_masked_batch_matches_exact():
     # sanity: without lengths the padded short utterance really does diverge
     unmasked = e.enhance_batch(padded)
     assert sdr(exact_short, unmasked[0, :n_short]) < agree_short - 10.0
+
+
+def test_length_masked_small_gap_and_fullsubnet():
+    """Regression: an utterance ending within n_fft//2 of the bucket edge
+    must still match its exact-length run (the bucket's own reflect pad
+    must not leak a reflection-of-the-reflection into the last valid
+    frame), and the FullSubNet baseline's masked full_band_crm_mask path
+    must work too."""
+    rng = np.random.default_rng(9)
+
+    def sdr(a, b):
+        return 10 * np.log10((a**2).sum() / (((a - b) ** 2).sum() + 1e-20))
+
+    # gap (16) < n_fft//2 (32)
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    e = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params, **ACOUSTICS)
+    n_short, n_long = 3984, 4000
+    short = (0.1 * rng.standard_normal(n_short)).astype(np.float32)
+    exact = e.enhance_batch(short[None])[0]
+    padded = np.zeros((2, n_long), np.float32)
+    padded[0, :n_short] = short
+    padded[1] = (0.1 * rng.standard_normal(n_long)).astype(np.float32)
+    masked = e.enhance_batch(padded, lengths=[n_short, n_long])
+    agree = sdr(exact, masked[0, :n_short])
+    assert agree > 80.0, f"small-gap masked agreement {agree:.1f} dB"
+
+    # FullSubNet baseline via full_band_crm_mask (LSTM-only: norms masked)
+    params_b = FULLSUBNET.init(jax.random.PRNGKey(1), SMALL_BASE)
+    eb = Enhancer(FULLSUBNET, SMALL_BASE, params_b,
+                  inference_type="full_band_crm_mask", **ACOUSTICS)
+    n_s = 2500
+    s = (0.1 * rng.standard_normal(n_s)).astype(np.float32)
+    exact_b = eb.enhance_batch(s[None])[0]
+    pb = np.zeros((1, 4000), np.float32)
+    pb[0, :n_s] = s
+    masked_b = eb.enhance_batch(pb, lengths=[n_s])
+    agree_b = sdr(exact_b, masked_b[0, :n_s])
+    assert agree_b > 80.0, f"FullSubNet masked agreement {agree_b:.1f} dB"
+
+    # gaussian-norm variant exercises the masked offline_gaussian_norm
+    cfg_g = dataclasses.replace(SMALL_PLUS, norm_type="offline_gaussian_norm")
+    params_g = FULLSUBNET_PLUS.init(jax.random.PRNGKey(2), cfg_g)
+    eg = Enhancer(FULLSUBNET_PLUS, cfg_g, params_g, **ACOUSTICS)
+    exact_g = eg.enhance_batch(s[None])[0]
+    masked_g = eg.enhance_batch(pb, lengths=[n_s])
+    agree_g = sdr(exact_g, masked_g[0, :n_s])
+    assert agree_g > 80.0, f"gaussian-norm masked agreement {agree_g:.1f} dB"
+
+
+def test_lengths_rejected_for_unsupported_mode():
+    """Passing lengths to a mode that cannot honor them must raise, not
+    silently return padding-contaminated output."""
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    e = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params,
+                 inference_type="complex_full_band_crm_mask", **ACOUSTICS)
+    with pytest.raises(ValueError, match="cannot honor"):
+        e.enhance_batch(np.zeros((1, 4000), np.float32), lengths=[2500])

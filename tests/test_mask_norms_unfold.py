@@ -205,3 +205,42 @@ def test_drop_band_matches_torch(rng):
         ours = np.asarray(drop_band(x, g))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_causal_norm_valid_passthrough():
+    """get_norm's causal wrapper: trailing padding must not change the valid
+    frames of a cumulative norm (causality), and the padded region is
+    zeroed in the output."""
+    import jax.numpy as jnp
+
+    from fullsubnet_plus_tpu.dsp.norms import get_norm
+
+    rng = np.random.default_rng(0)
+    fn = get_norm("cumulative_laplace_norm")
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 5, 20))).astype(np.float32))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 12)))
+    valid = jnp.asarray([20, 20])
+    exact = fn(x)
+    masked = fn(xp, valid=valid)
+    np.testing.assert_allclose(np.asarray(masked[..., :20]), np.asarray(exact),
+                               rtol=1e-6, atol=1e-7)
+    assert float(np.abs(np.asarray(masked[..., 20:])).max()) == 0.0
+
+
+def test_masked_offline_norms_match_exact():
+    """Masked offline laplace/gaussian stats over a padded batch equal the
+    exact-length stats (counting only valid frames)."""
+    import jax.numpy as jnp
+
+    from fullsubnet_plus_tpu.dsp.norms import offline_laplace_norm, offline_gaussian_norm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 3, 7, 15))).astype(np.float32))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 9)))
+    valid = jnp.asarray([15, 15])
+    for fn in (offline_laplace_norm, offline_gaussian_norm):
+        exact = fn(x)
+        masked = fn(xp, valid=valid)
+        np.testing.assert_allclose(np.asarray(masked[..., :15]), np.asarray(exact),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(np.abs(np.asarray(masked[..., 15:])).max()) == 0.0
