@@ -192,3 +192,36 @@ def load_torch_checkpoint(path: str, model_name: str = "fullsubnet_plus"):
     ):
         return convert_fullsubnet_plus(state_dict)
     return convert_fullsubnet(state_dict)
+
+
+def save_torch_checkpoint(path: str, params, model_name: str = "fullsubnet_plus",
+                          epoch: int = 0) -> None:
+    """Export our params as a reference-format PyTorch checkpoint.
+
+    `.tar` gets the reference's full artifact shape {"epoch", "model", ...}
+    (base_trainer.py:161-190 of the reference); `.pth` gets the bare
+    state_dict (base_trainer.py:192). The result loads into the reference's
+    `FullSubNet_Plus`/`Model` with strict=True, so models trained here can be
+    served by the reference implementation unchanged.
+    """
+    import torch
+
+    from fullsubnet_plus_tpu.io.torch_convert import (
+        export_fullsubnet,
+        export_fullsubnet_plus,
+    )
+
+    if model_name in (
+        "fullsubnet_plus",
+        "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus",
+    ):
+        sd = export_fullsubnet_plus(params)
+    else:
+        sd = export_fullsubnet(params)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    tmp = path + ".tmp"
+    if path.endswith(".pth"):
+        torch.save(sd, tmp)
+    else:
+        torch.save({"epoch": epoch, "model": sd}, tmp)
+    os.replace(tmp, path)

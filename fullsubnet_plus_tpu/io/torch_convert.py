@@ -147,3 +147,116 @@ def convert_fullsubnet(state_dict, sequence_model: str = "LSTM"):
         "fb_model": convert_sequence_model(sd, "fb_model", sequence_model, num_layers=2),
         "sb_model": convert_sequence_model(sd, "sb_model", sequence_model, num_layers=2),
     }
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our param pytrees -> reference-layout torch state_dicts.
+#
+# Exact inverses of the converters above (transposes undone, key names mapped
+# back to the reference's module attribute names), so a model trained here can
+# be loaded by the reference implementation with `load_state_dict(strict=True)`
+# (module names per fullsubnet_plus/model/fullsubnet_plus.py:72-110 and
+# audio_zen/model/module/sequence_model.py:5-96 of the reference). Output
+# values are numpy float32 arrays; wrap in torch tensors to `torch.save`.
+# ---------------------------------------------------------------------------
+
+
+def _f32(a) -> np.ndarray:
+    # np.array always copies -> writable, torch.from_numpy-safe
+    return np.array(a, dtype=np.float32, order="C")
+
+
+def export_linear(out, params, prefix: str):
+    out[f"{prefix}.weight"] = _f32(params["weight"]).T.copy()
+    out[f"{prefix}.bias"] = _f32(params["bias"])
+
+
+def export_conv1d(out, params, prefix: str):
+    out[f"{prefix}.weight"] = _f32(params["weight"])
+    if "bias" in params:
+        out[f"{prefix}.bias"] = _f32(params["bias"])
+
+
+def export_lstm(out, params, prefix: str):
+    for layer, p in enumerate(params["layers"]):
+        out[f"{prefix}.weight_ih_l{layer}"] = _f32(p["w_ih"]).T.copy()
+        out[f"{prefix}.weight_hh_l{layer}"] = _f32(p["w_hh"]).T.copy()
+        out[f"{prefix}.bias_ih_l{layer}"] = _f32(p["b_ih"])
+        out[f"{prefix}.bias_hh_l{layer}"] = _f32(p["b_hh"])
+
+
+def export_group_norm(out, params, prefix: str):
+    out[f"{prefix}.weight"] = _f32(params["weight"])
+    out[f"{prefix}.bias"] = _f32(params["bias"])
+
+
+def export_tcn_block(out, params, prefix: str):
+    export_conv1d(out, params["conv1x1"], f"{prefix}.conv1x1")
+    out[f"{prefix}.prelu1.weight"] = _f32(params["prelu1"])
+    export_group_norm(out, params["norm1"], f"{prefix}.norm1")
+    export_conv1d(out, params["depthwise"], f"{prefix}.depthwise_conv")
+    out[f"{prefix}.prelu2.weight"] = _f32(params["prelu2"])
+    export_group_norm(out, params["norm2"], f"{prefix}.norm2")
+    export_conv1d(out, params["sconv"], f"{prefix}.sconv")
+
+
+def export_sequence_model(out, params, prefix: str, sequence_model: str):
+    export_linear(out, params["fc_output_layer"], f"{prefix}.fc_output_layer")
+    if sequence_model == "TCN":
+        for i, block in enumerate(params["seq"]["blocks"]):
+            export_tcn_block(out, block, f"{prefix}.sequence_model.{i}")
+        return
+    if sequence_model in ("LSTM", "GRU"):
+        export_lstm(out, params["seq"], f"{prefix}.sequence_model")
+        return
+    raise NotImplementedError(sequence_model)
+
+
+def export_tsse(out, params, prefix: str):
+    export_conv1d(out, params["small_conv"], f"{prefix}.smallConv1d.0")
+    export_conv1d(out, params["middle_conv"], f"{prefix}.middleConv1d.0")
+    export_conv1d(out, params["large_conv"], f"{prefix}.largeConv1d.0")
+    export_linear(out, params["feature_concate_fc"], f"{prefix}.feature_concate_fc")
+    export_linear(out, params["fc1"], f"{prefix}.fc1")
+    export_linear(out, params["fc2"], f"{prefix}.fc2")
+
+
+def export_channel_attention(out, params, prefix: str, model: str):
+    if model == "TSSE":
+        export_tsse(out, params, prefix)
+    elif model in ("SE", "CBAM"):
+        export_linear(out, params["fc1"], f"{prefix}.fc1")
+        export_linear(out, params["fc2"], f"{prefix}.fc2")
+    elif model == "ECA":
+        out[f"{prefix}.conv.weight"] = _f32(params["conv"]["weight"])
+    else:
+        raise NotImplementedError(model)
+
+
+def export_fullsubnet_plus(params, sb_sequence_model: str = "LSTM",
+                           channel_attention_model: str = "TSSE"):
+    """models/fullsubnet_plus.py param tree -> reference torch state_dict.
+
+    Inverse of `convert_fullsubnet_plus`: loading the result into the
+    reference `FullSubNet_Plus` (strict=True) reproduces our forward.
+    """
+    out = {}
+    export_channel_attention(out, params["channel_attention"], "channel_attention",
+                             channel_attention_model)
+    export_channel_attention(out, params["channel_attention_real"],
+                             "channel_attention_real", channel_attention_model)
+    export_channel_attention(out, params["channel_attention_imag"],
+                             "channel_attention_imag", channel_attention_model)
+    export_sequence_model(out, params["fb_model"], "fb_model", "TCN")
+    export_sequence_model(out, params["fb_model_real"], "fb_model_real", "TCN")
+    export_sequence_model(out, params["fb_model_imag"], "fb_model_imag", "TCN")
+    export_sequence_model(out, params["sb_model"], "sb_model", sb_sequence_model)
+    return out
+
+
+def export_fullsubnet(params, sequence_model: str = "LSTM"):
+    """models/fullsubnet.py param tree -> reference torch state_dict."""
+    out = {}
+    export_sequence_model(out, params["fb_model"], "fb_model", sequence_model)
+    export_sequence_model(out, params["sb_model"], "sb_model", sequence_model)
+    return out

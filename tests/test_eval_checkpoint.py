@@ -132,3 +132,33 @@ def test_torch_checkpoint_ingest(tmp_path):
     np.testing.assert_array_equal(
         params["sb_model"]["seq"]["layers"][0]["w_ih"], ref_w.T
     )
+
+
+def test_export_torch_cli_roundtrip(tmp_path):
+    """npz -> export_torch CLI -> .tar -> load_torch_checkpoint == original."""
+    import jax
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.checkpoint import load_torch_checkpoint, save_pytree
+    from fullsubnet_plus_tpu.cli.export_torch import main as export_main
+
+    cfg = jmodel.FullSubNetPlusConfig(
+        num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=16,
+        sb_model_hidden_size=12,
+    )
+    params = jmodel.init(jax.random.PRNGKey(5), cfg)
+    npz = str(tmp_path / "best_model.npz")
+    save_pytree(npz, {"params": params}, {"epoch": 7, "best_score": 0.5})
+
+    tar = str(tmp_path / "best_model.tar")
+    export_main(["-M", npz, "-O", tar])
+
+    back = load_torch_checkpoint(tar)
+    flat_a, tree_a = jax.tree_util.tree_flatten(params)
+    flat_b, tree_b = jax.tree_util.tree_flatten(back)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+    import torch
+    blob = torch.load(tar, map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 7 and "model" in blob

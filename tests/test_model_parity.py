@@ -136,3 +136,67 @@ def test_param_count_matches_paper(ref_modules):
     params = jmodel.init(jax.random.PRNGKey(0))
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert 8.5e6 < n < 8.9e6, f"param count {n}"
+
+
+def test_export_state_dict_roundtrip(ref_modules, rng):
+    """Our params -> reference torch state_dict (strict load) -> same forward.
+
+    The reverse converter (io/torch_convert.export_fullsubnet_plus) lets a
+    model trained in this framework be served by the reference PyTorch code.
+    """
+    import jax
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import (
+        convert_fullsubnet_plus,
+        export_fullsubnet_plus,
+    )
+
+    FullSubNet_Plus, _ = ref_modules
+    params = jmodel.init(jax.random.PRNGKey(42))
+    sd = {k: torch.from_numpy(v.copy()) for k, v in export_fullsubnet_plus(params).items()}
+
+    ref = FullSubNet_Plus(
+        channel_attention_model="TSSE", kersize=[3, 5, 10], subband_num=1, **SHARED_ARGS
+    ).eval()
+    # strict load: key sets must match the reference module tree exactly
+    ref.load_state_dict(sd, strict=True)
+
+    T = 24
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    real = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    imag = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(mag), torch.from_numpy(real), torch.from_numpy(imag)
+        ).numpy()
+    ours = np.asarray(
+        jmodel.apply(params, mag, real, imag, jmodel.FullSubNetPlusConfig(), training=False)
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+    # and the numeric inverse: convert(export(p)) == p exactly
+    back = convert_fullsubnet_plus({k: v.numpy() for k, v in sd.items()})
+    flat_a, tree_a = jax.tree_util.tree_flatten(params)
+    flat_b, tree_b = jax.tree_util.tree_flatten(back)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_export_fullsubnet_roundtrip(ref_modules, rng):
+    import jax
+    from fullsubnet_plus_tpu.models import fullsubnet as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import export_fullsubnet
+
+    _, FullSubNet = ref_modules
+    params = jmodel.init(jax.random.PRNGKey(7))
+    sd = {k: torch.from_numpy(v.copy()) for k, v in export_fullsubnet(params).items()}
+    ref = FullSubNet(**SHARED_ARGS).eval()
+    ref.load_state_dict(sd, strict=True)
+
+    T = 16
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(mag)).numpy()
+    ours = np.asarray(jmodel.apply(params, mag, jmodel.FullSubNetConfig(), training=False))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
