@@ -45,9 +45,11 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mode", choices=["enhance", "train"], default="enhance",
+    parser.add_argument("--mode", choices=["enhance", "train", "data"],
+                        default="enhance",
                         help="train: full train-step throughput at the "
-                             "reference batch (18 x 3.072 s)")
+                             "reference batch (18 x 3.072 s); data: host-side "
+                             "dynamic-mixing pipeline throughput (no TPU)")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--iters", type=int, default=None,
@@ -62,7 +64,11 @@ def main():
                              "the next (latency mode; default is queue-ahead)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--workers", type=int, default=None,
+                        help="data mode: loader worker threads (default: CPU count)")
     args = parser.parse_args()
+    if args.mode == "data":
+        return bench_data(args)
     if args.mode == "train":
         if args.dtype == "int8":
             raise SystemExit("--dtype int8 is a serving mode (enhance only)")
@@ -213,6 +219,89 @@ def bench_train(args):
                 "metric": "train_audio_seconds_per_second_per_chip",
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+def bench_data(args):
+    """Host-side dynamic-mixing pipeline throughput (no TPU involved).
+
+    Synthesizes a small on-disk corpus, then measures the full training
+    input path — wav decode, noise concatenation, RIR fftconvolve (75 % of
+    items), SNR mixing, loudness retarget, batch stacking — through the
+    threaded BatchLoader exactly as the trainer consumes it.
+    vs_baseline divides by the measured bf16 train-step consumption rate
+    (≈1193 audio-s/s/chip, docs/PERFORMANCE.md): the value is how many
+    chips one host like this one can feed. Scales with host CPU count
+    (this is the reference's DataLoader(num_workers=24) axis, SURVEY §3.4).
+    """
+    import os
+    import tempfile
+
+    from fullsubnet_plus_tpu.data.datasets import TrainDataset
+    from fullsubnet_plus_tpu.data.loader import BatchLoader
+    from fullsubnet_plus_tpu.data.wav import write_wav
+
+    sr = 16000
+    batch = 18 if args.batch is None else args.batch
+    workers = args.workers or (os.cpu_count() or 4)
+    iters = 24 if args.iters is None else args.iters
+    rng = np.random.default_rng(0)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        clean_paths, noise_paths, rir_paths = [], [], []
+        for i in range(48):  # 6 s clean utterances
+            path = os.path.join(tmp, f"clean_{i}.wav")
+            write_wav(path, (0.2 * np.sin(2 * np.pi * (200 + 7 * i) *
+                      np.arange(6 * sr) / sr)).astype(np.float32), sr)
+            clean_paths.append(path)
+        for i in range(16):  # 8 s noise files
+            path = os.path.join(tmp, f"noise_{i}.wav")
+            write_wav(path, (0.1 * rng.standard_normal(8 * sr)).astype(np.float32), sr)
+            noise_paths.append(path)
+        for i in range(4):  # 0.3 s exponential-decay RIRs
+            path = os.path.join(tmp, f"rir_{i}.wav")
+            ir = rng.standard_normal(int(0.3 * sr)).astype(np.float32)
+            ir *= np.exp(-np.arange(ir.size) / (0.05 * sr)).astype(np.float32)
+            write_wav(path, 0.5 * ir / np.abs(ir).max(), sr)
+            rir_paths.append(path)
+        lists = {}
+        for name, paths in (("clean", clean_paths), ("noise", noise_paths),
+                            ("rir", rir_paths)):
+            lists[name] = os.path.join(tmp, f"{name}.txt")
+            with open(lists[name], "w") as f:
+                f.write("\n".join(paths) + "\n")
+
+        dataset = TrainDataset(lists["clean"], lists["noise"], lists["rir"])
+        loader = BatchLoader(dataset, batch, num_workers=workers,
+                             prefetch=4, seed=0)
+
+        def consume(n, epoch):
+            done = 0
+            while done < n:
+                for noisy, clean in loader.epoch(epoch):
+                    assert noisy.shape == (batch, 49152)
+                    done += 1
+                    if done >= n:
+                        break
+                epoch += 1
+            return epoch
+
+        epoch = consume(2, 0)  # warm page cache / thread pools
+        t0 = time.perf_counter()
+        consume(iters, epoch)
+        elapsed = time.perf_counter() - t0
+
+    value = iters * batch * 3.072 / elapsed
+    baseline = 1193.0  # measured bf16 train-step audio-s/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "train_data_pipeline_audio_seconds_per_second_per_host",
+                "value": round(value, 3),
+                "unit": "audio-s/s/host",
                 "vs_baseline": round(value / baseline, 3),
             }
         )
