@@ -21,10 +21,15 @@ _lock = threading.Lock()
 
 
 def init(filename: str | None, run_name: str | None = None, slack_url: str | None = None):
+    """(Re)configure the logger; `filename=None` detaches any open log file."""
     global _file, _run_name, _slack_url
-    if filename:
-        os.makedirs(os.path.dirname(os.path.abspath(filename)) or ".", exist_ok=True)
-        _file = open(filename, "a")
+    with _lock:
+        if _file is not None:
+            _file.close()
+            _file = None
+        if filename:
+            os.makedirs(os.path.dirname(os.path.abspath(filename)) or ".", exist_ok=True)
+            _file = open(filename, "a")
     _run_name = run_name
     _slack_url = slack_url
 
