@@ -69,6 +69,10 @@ def main():
     args = parser.parse_args()
     if args.mode == "data":
         return bench_data(args)
+    # Warm starts: compiles happen in warmup, never inside the timed region.
+    from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.mode == "train":
         if args.dtype == "int8":
             raise SystemExit("--dtype int8 is a serving mode (enhance only)")

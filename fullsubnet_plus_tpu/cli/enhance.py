@@ -164,7 +164,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.utils.config import load_config
+    from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
 
+    enable_compilation_cache()
     config = load_config(args.configuration)
     input_dirs = args.dataset_dir_list.split(",") if args.dataset_dir_list else None
     run_enhance(

@@ -131,7 +131,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.utils.config import load_config
+    from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
 
+    enable_compilation_cache()
     config = load_config(args.configuration)
     trainer = build_trainer(config, args)
     trainer.train(only_validation=args.only_validation)

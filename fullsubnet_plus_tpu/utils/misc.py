@@ -68,3 +68,30 @@ def basename(path: str):
     """audio_zen/utils.py:216-218: (stem, ext)."""
     filename = os.path.splitext(os.path.basename(path))
     return filename[0], filename[1]
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Remote TPU compiles over the axon tunnel are very slow (the full
+    training program takes tens of minutes cold; even a trivial jit
+    measured 114 s vs 0.5 s cached), and the remote service keeps no
+    cross-process cache — so every CLI/bench process pays full price
+    without this. Honors JAX_COMPILATION_CACHE_DIR if set; returns the
+    directory used, or None if the cache could not be enabled (old jax).
+    Compile time is never inside a timed bench region, so caching does not
+    affect measured numbers.
+    """
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/fullsubnet_plus_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        return None
+    return cache_dir

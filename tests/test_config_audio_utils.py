@@ -1,5 +1,6 @@
 """Config round-trip and remaining waveform-util coverage."""
 
+import os
 import numpy as np
 
 from fullsubnet_plus_tpu.utils.config import load_config, merge_config, dump_config
@@ -84,3 +85,18 @@ def test_loudness_helpers(rng):
     assert abs(achieved - (-25)) < 0.1
     assert not is_clipped(tailored)
     assert is_clipped(np.array([1.5]))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    used = enable_compilation_cache(str(tmp_path / "jaxcache"))
+    assert used == str(tmp_path / "jaxcache")
+    assert os.path.isdir(used)
+    assert jax.config.jax_compilation_cache_dir == used
+    # env override wins when no explicit dir is passed
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "envcache"))
+    assert enable_compilation_cache() == str(tmp_path / "envcache")
