@@ -55,18 +55,26 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(ex.map(self.dataset.__getitem__, batch_idx))
-                    arrays = tuple(
-                        np.stack([item[i] for item in items])
-                        for i in range(len(items[0]))
-                        if isinstance(items[0][i], np.ndarray)
-                    )
-                    q.put(arrays)
-            q.put(None)
+            # Any worker exception must reach the consumer — a silently dead
+            # producer would leave the training loop blocked on q.get()
+            # forever (observed with a bad config: the mixing draw raised in
+            # a worker and the whole trainer hung).
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            break
+                        items = list(ex.map(self.dataset.__getitem__, batch_idx))
+                        arrays = tuple(
+                            np.stack([item[i] for item in items])
+                            for i in range(len(items[0]))
+                            if isinstance(items[0][i], np.ndarray)
+                        )
+                        q.put(arrays)
+            except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
+                q.put(exc)
+            else:
+                q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -75,6 +83,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -71,12 +71,17 @@ def snr_mix(
         if rir.ndim > 1:
             rir = rir[rng.integers(rir.shape[0]), :]
 
-    noisy_target_db_fs = int(
-        rng.integers(
-            target_db_fs - target_db_fs_floating_value,
-            target_db_fs + target_db_fs_floating_value,
+    # floating_value == 0 means a fixed target level (the reference's
+    # np.random.randint would raise on low >= high, dataset_train.py:166).
+    if target_db_fs_floating_value > 0:
+        noisy_target_db_fs = int(
+            rng.integers(
+                target_db_fs - target_db_fs_floating_value,
+                target_db_fs + target_db_fs_floating_value,
+            )
         )
-    )
+    else:
+        noisy_target_db_fs = int(target_db_fs)
 
     if rir is not None:
         convolved = None

@@ -178,3 +178,39 @@ def test_inference_dataset(tmp_path, rng):
     assert len(ds) == 2
     wav, name = ds[0]
     assert wav.ndim == 1 and isinstance(name, str)
+
+
+def test_batch_loader_propagates_worker_exception():
+    """A crashing __getitem__ must raise in the consumer, not hang the
+    training loop (regression: a dead producer thread left q.get() blocked
+    forever)."""
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            raise ValueError("synthetic worker failure")
+
+    loader = BatchLoader(Boom(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="synthetic worker failure"):
+        list(loader.epoch(0))
+
+
+def test_snr_mix_zero_floating_value(corpus):
+    """target_dB_FS_floating_value=0 means a fixed loudness target — the
+    reference's randint(low, high) would raise on low >= high
+    (dataset_train.py:166); we handle it (regression: hung the trainer via
+    the loader)."""
+    _, lists = corpus
+    ds = TrainDataset(
+        clean_dataset=lists["clean"],
+        noise_dataset=lists["noise"],
+        rir_dataset="",
+        sub_sample_length=1.0,
+        target_dB_FS_floating_value=0,
+        reverb_proportion=0.0,
+    )
+    noisy, clean = ds[0]
+    assert noisy.shape == clean.shape == (16000,)
+    assert np.isfinite(noisy).all() and np.isfinite(clean).all()
