@@ -15,6 +15,7 @@ import json
 import os
 import signal
 import threading
+import traceback
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -289,7 +290,19 @@ class Trainer:
             if self.is_primary and epoch % self.save_checkpoint_interval == 0:
                 self.ckpt.save(self.state, epoch, self.best_score)
             if epoch % self.validation_interval == 0 and self.valid_dataset is not None:
-                score = self._validation_epoch(epoch)
+                # Validation failures (e.g. a transient remote-compile /
+                # backend error) must not kill a long training run — the
+                # epoch checkpoint is already on disk. Log, skip the best
+                # gate this round, keep training. Part of the failure-
+                # detection story (ARCHITECTURE.md) — the reference dies.
+                try:
+                    score = self._validation_epoch(epoch)
+                except Exception:
+                    logger.log(
+                        f"[Val] epoch {epoch} FAILED — continuing training:\n"
+                        f"{traceback.format_exc()}"
+                    )
+                    continue
                 if self.is_primary and self._is_best(score):
                     self.ckpt.save(self.state, epoch, self.best_score, is_best=True)
 

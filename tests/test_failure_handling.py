@@ -171,3 +171,45 @@ def test_handlers_only_installed_during_train(tmp_path):
     )
     assert signal.getsignal(signal.SIGTERM) is before
     assert trainer._prev_handlers == {}
+
+
+class _TinyLoader:
+    def __init__(self, n_batches=2):
+        rng = np.random.default_rng(0)
+        self.noisy = (rng.standard_normal((4, 2048)) * 0.1).astype(np.float32)
+        self.clean = (0.8 * self.noisy).astype(np.float32)
+        self.n_batches = n_batches
+
+    def epoch(self, epoch):
+        for _ in range(self.n_batches):
+            yield self.noisy, self.clean
+
+
+def test_validation_failure_does_not_kill_training(tmp_path):
+    """A transient backend error in the validation epoch must not abort the
+    run (observed on hardware: a remote-compile flake killed a training run
+    whose epoch checkpoints were already on disk)."""
+    from fullsubnet_plus_tpu.train.trainer import Trainer
+
+    class _FailingValDataset:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            raise RuntimeError("synthetic validation failure")
+
+    trainer = Trainer(
+        FULLSUBNET_PLUS, TINY,
+        save_dir=str(tmp_path),
+        train_loader=_TinyLoader(),
+        valid_dataset=_FailingValDataset(),
+        acoustics=dict(**ACOUSTICS, sr=16000),
+        epochs=2,
+        validation_interval=1,
+        use_tensorboard=False,
+    )
+    trainer.train()  # must complete both epochs despite failing validation
+
+    ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+    assert "model_0002.npz" in ckpts
+    assert "best_model.npz" not in ckpts  # gate never ran
