@@ -267,7 +267,30 @@ class Trainer:
                 self.ckpt.save(self.state, epoch, self.best_score, self._is_best(score))
                 return
             t0 = time.time()
-            train_loss = self._train_epoch(epoch)
+            try:
+                train_loss = self._train_epoch(epoch)
+            except jax.errors.JaxRuntimeError:
+                # A dead backend mid-epoch (device lost, runtime wedged)
+                # should leave a resumable run, not a stack trace: best-
+                # effort checkpoint of the last completed epoch and a clean
+                # exit so `-R` continues. Programming errors (shape/type
+                # bugs) are NOT JaxRuntimeError and still propagate.
+                logger.log(
+                    f"[Train] epoch {epoch} ABORTED by a backend runtime "
+                    f"error — checkpointing and exiting for -R resume:\n"
+                    f"{traceback.format_exc()}"
+                )
+                if self.is_primary:
+                    try:
+                        self.ckpt.save(self.state, epoch - 1, self.best_score,
+                                       latest_only=True)
+                    except Exception:
+                        logger.log(
+                            "[Train] checkpoint-on-failure also failed "
+                            "(device unreachable); resume from the last "
+                            f"epoch file:\n{traceback.format_exc()}"
+                        )
+                return
             logger.log(
                 f"[Train] epoch {epoch} loss {train_loss:.6f} "
                 f"({time.time() - t0:.1f}s)"

@@ -213,3 +213,35 @@ def test_validation_failure_does_not_kill_training(tmp_path):
     ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
     assert "model_0002.npz" in ckpts
     assert "best_model.npz" not in ckpts  # gate never ran
+
+
+def test_backend_failure_checkpoints_and_exits(tmp_path):
+    """A backend runtime error mid-training leaves a resumable checkpoint
+    and exits cleanly (observed on hardware: a wedged device connection
+    failed every dispatch after the first error)."""
+    from fullsubnet_plus_tpu.io.checkpoint import load_flat
+    from fullsubnet_plus_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        FULLSUBNET_PLUS, TINY,
+        save_dir=str(tmp_path),
+        train_loader=_TinyLoader(),
+        acoustics=dict(**ACOUSTICS, sr=16000),
+        epochs=4,
+        use_tensorboard=False,
+    )
+    real_step = trainer.train_step
+    calls = {"n": 0}
+
+    def flaky_step(state, noisy, clean):
+        calls["n"] += 1
+        if calls["n"] > 2:  # epoch 2, first batch
+            raise jax.errors.JaxRuntimeError("UNIMPLEMENTED: synthetic")
+        return real_step(state, noisy, clean)
+
+    trainer.train_step = flaky_step
+    trainer.train()  # returns cleanly instead of raising
+
+    latest = os.path.join(str(tmp_path), "checkpoints", "latest_model.npz")
+    _, meta = load_flat(latest)
+    assert meta["epoch"] == 1  # interrupted epoch 2 -> resumable from 1
