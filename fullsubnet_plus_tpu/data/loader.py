@@ -54,6 +54,20 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # Never block forever on a full queue: if the consumer exits
+            # early (preemption SIGTERM, an exception in the train step, a
+            # break out of the epoch), it sets `stop` and no longer drains —
+            # an unconditional q.put() would then leak this thread, the
+            # worker pool, and the prefetched batches it pins.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # Any worker exception must reach the consumer — a silently dead
             # producer would leave the training loop blocked on q.get()
@@ -70,11 +84,12 @@ class BatchLoader:
                             for i in range(len(items[0]))
                             if isinstance(items[0][i], np.ndarray)
                         )
-                        q.put(arrays)
+                        if not put(arrays):
+                            return
             except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
-                q.put(exc)
+                put(exc)
             else:
-                q.put(None)
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -88,3 +103,4 @@ class BatchLoader:
                 yield batch
         finally:
             stop.set()
+            thread.join(timeout=5.0)

@@ -118,7 +118,7 @@ def convert_channel_attention(sd, prefix: str, model: str):
         return convert_se(sd, prefix)
     if model == "ECA":
         weight = _np(sd[f"{prefix}.conv.weight"]).copy()  # bias=False in reference
-        return {"conv": {"weight": weight}, "k_size": weight.shape[-1]}
+        return {"conv": {"weight": weight}}  # k is the weight's static shape
     raise NotImplementedError(model)
 
 

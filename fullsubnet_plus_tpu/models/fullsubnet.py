@@ -13,7 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from fullsubnet_plus_tpu.dsp.norms import get_norm
+from fullsubnet_plus_tpu.dsp.norms import get_norm, time_mask
 from fullsubnet_plus_tpu.dsp.unfold import freq_unfold, drop_band
 from fullsubnet_plus_tpu.nn.sequence import sequence_model_init, sequence_model_apply
 
@@ -92,9 +92,9 @@ def apply(
         # the look_ahead zeros (see fullsubnet_plus.apply)
         data_valid = jnp.minimum(valid_frames, num_frames)
         valid = jnp.minimum(valid_frames + config.look_ahead, num_frames)
-        entry_mask = (
-            jnp.arange(num_frames)[None, :] < data_valid[:, None]
-        ).astype(noisy_mag.dtype)[:, None, None, :]
+        entry_mask = time_mask(num_frames, data_valid, noisy_mag.dtype)[
+            :, None, None, :
+        ]
         noisy_mag = noisy_mag * entry_mask
 
     fb_input = norm(noisy_mag, valid=valid).reshape(batch_size, num_freqs, num_frames)

@@ -32,7 +32,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from fullsubnet_plus_tpu.dsp.norms import get_norm
+from fullsubnet_plus_tpu.dsp.norms import get_norm, time_mask
 from fullsubnet_plus_tpu.dsp.unfold import freq_unfold, drop_band
 from fullsubnet_plus_tpu.nn.attention import (
     channel_attention_init,
@@ -167,9 +167,9 @@ def apply(
         # stats do (the reference norms AFTER the look-ahead pad).
         data_valid = jnp.minimum(valid_frames, num_frames)
         valid = jnp.minimum(valid_frames + look_ahead, num_frames)
-        entry_mask = (
-            jnp.arange(num_frames)[None, :] < data_valid[:, None]
-        ).astype(noisy_mag.dtype)[:, None, None, :]
+        entry_mask = time_mask(num_frames, data_valid, noisy_mag.dtype)[
+            :, None, None, :
+        ]
         noisy_mag = noisy_mag * entry_mask
         noisy_real = noisy_real * entry_mask
         noisy_imag = noisy_imag * entry_mask

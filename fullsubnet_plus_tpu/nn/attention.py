@@ -122,11 +122,14 @@ def se_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
 
 def eca_init(key, channel: int, k_size: int = 3, dtype=jnp.float32):
     conv = conv1d_init(key, 1, 1, k_size, dtype=dtype)
-    return {"conv": {"weight": conv["weight"]}, "k_size": k_size}
+    return {"conv": {"weight": conv["weight"]}}
 
 
 def eca_apply(params, x: jnp.ndarray, valid=None) -> jnp.ndarray:
-    k_size = params["k_size"]
+    # k derived from the weight's static shape — storing it as a pytree leaf
+    # would break tree_map dtype casts and trace as a non-concrete value
+    # under jax.grad.
+    k_size = params["conv"]["weight"].shape[-1]
     squeeze = _masked_mean_t(x, valid)[:, None, :]  # [B, 1, C]
     pad = (k_size - 1) // 2
     y = conv1d(squeeze, params["conv"]["weight"], None, padding=pad)
@@ -173,10 +176,7 @@ tsse_weight_init = tsse_init
 
 
 def tsse_weight_apply(params, x: jnp.ndarray, kersize=(3, 5, 10)):
-    """Returns (gated_x, gate[B, C, 1])."""
-    gated = tsse_apply(params, x, kersize=kersize)
-    # Recompute the gate cheaply from the ratio (x may contain zeros; derive
-    # the gate from the same squeeze path instead).
+    """Returns (gated_x, gate[B, C, 1]) — the squeeze path runs once."""
     num_channels = x.shape[1]
 
     def branch(conv_params):
@@ -190,7 +190,7 @@ def tsse_weight_apply(params, x: jnp.ndarray, kersize=(3, 5, 10)):
     )
     squeeze = _linear(params["feature_concate_fc"], feats)[..., 0]
     gate = jax.nn.sigmoid(_linear(params["fc2"], jax.nn.relu(_linear(params["fc1"], squeeze))))
-    return gated, gate[:, :, None]
+    return x * gate[:, :, None], gate[:, :, None]
 
 
 # ---------------------------------------------------------------------------

@@ -28,11 +28,17 @@ import jax.numpy as jnp
 from fullsubnet_plus_tpu.nn.init import uniform_fan_in
 
 
-def lstm_init(key, input_size: int, hidden_size: int, num_layers: int, dtype=jnp.float32):
-    """torch-default U(-1/sqrt(H), 1/sqrt(H)) init for every tensor."""
+def lstm_init(key, input_size: int, hidden_size: int, num_layers: int, dtype=jnp.float32,
+              *, bidirectional: bool = False):
+    """torch-default U(-1/sqrt(H), 1/sqrt(H)) init for every tensor.
+
+    `bidirectional` sizes layer-1+ inputs at 2H: in torch's bidirectional=True
+    every layer above the first consumes the concat of both directions
+    (this init builds ONE direction's stack; bilstm_apply pairs two).
+    """
     layers = []
     for layer in range(num_layers):
-        d_in = input_size if layer == 0 else hidden_size
+        d_in = input_size if layer == 0 else hidden_size * (2 if bidirectional else 1)
         k1, k2, k3, k4, key = jax.random.split(key, 5)
         layers.append(
             {

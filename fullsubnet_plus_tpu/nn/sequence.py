@@ -59,8 +59,10 @@ def sequence_model_init(
         if bidirectional:
             k_f, k_b = jax.random.split(k_seq)
             seq = {
-                "fwd": lstm_init(k_f, input_size, hidden_size, num_layers, dtype),
-                "bwd": lstm_init(k_b, input_size, hidden_size, num_layers, dtype),
+                "fwd": lstm_init(k_f, input_size, hidden_size, num_layers, dtype,
+                                 bidirectional=True),
+                "bwd": lstm_init(k_b, input_size, hidden_size, num_layers, dtype,
+                                 bidirectional=True),
             }
             fc_in = hidden_size * 2
         else:

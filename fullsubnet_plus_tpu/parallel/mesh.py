@@ -49,15 +49,34 @@ def make_mesh(data: int | None = None, freq: int = 1, devices=None) -> Mesh:
 
 
 def auto_mesh(batch_size: int, devices=None) -> Mesh | None:
-    """Largest data-parallel mesh whose size divides the global batch.
+    """Largest data-parallel mesh fed by PER-HOST batches of `batch_size`.
 
-    Returns None when only one device exists (plain jit is cheaper than a
-    1-device mesh).
+    Single-process: the largest device count that divides the batch (a
+    prefix of jax.devices()); None when only one device exists (plain jit
+    is cheaper than a 1-device mesh).
+
+    Multi-process: all devices. globalize_batch requires every host to
+    contribute exactly its local rows to uniformly-sized shards, so a
+    partial device subset (non-uniform per host) is not usable — sizing
+    the axis against the local batch here used to build e.g. a 6-device
+    mesh over 2x4 hosts that make_array_from_process_local_data then
+    rejects on the first batch. Raises when the global batch can't split
+    evenly instead of producing that mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n <= 1:
         return None
+    procs = jax.process_count()
+    if procs > 1:
+        global_batch = batch_size * procs
+        if global_batch % n != 0:
+            raise ValueError(
+                f"global batch {global_batch} ({batch_size}/host × {procs} "
+                f"hosts) must divide evenly over all {n} devices for "
+                "multi-host training; adjust dataloader.batch_size"
+            )
+        return make_mesh(data=n, freq=1, devices=devices)
     data = n
     while data > 1 and batch_size % data != 0:
         data -= 1

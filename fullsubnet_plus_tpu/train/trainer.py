@@ -264,7 +264,11 @@ class Trainer:
         for epoch in range(self.start_epoch, self.epochs + 1):
             if only_validation:
                 score = self._validation_epoch(epoch)
-                self.ckpt.save(self.state, epoch, self.best_score, self._is_best(score))
+                # _is_best must run BEFORE best_score is read (it updates it);
+                # argument order here previously saved the stale pre-update
+                # value, which a later -R resume would restore.
+                is_best = self._is_best(score)
+                self.ckpt.save(self.state, epoch, self.best_score, is_best)
                 return
             t0 = time.time()
             try:

@@ -214,3 +214,24 @@ def test_snr_mix_zero_floating_value(corpus):
     noisy, clean = ds[0]
     assert noisy.shape == clean.shape == (16000,)
     assert np.isfinite(noisy).all() and np.isfinite(clean).all()
+
+def test_batch_loader_early_exit_releases_producer(corpus):
+    """Closing the epoch generator early (preemption, a failing train step)
+    must unblock and join the producer thread — a bare q.put() on the full
+    prefetch queue used to leak the producer + its worker pool forever."""
+    import threading
+    import time
+
+    _, lists = corpus
+    dataset = TrainDataset(
+        lists["clean"], lists["noise"], lists["rir"], sub_sample_length=0.5
+    )
+    loader = BatchLoader(dataset, 2, num_workers=2, prefetch=1, seed=0)
+    before = threading.active_count()
+    gen = loader.epoch(0)
+    next(gen)  # producer is now blocked refilling the size-1 queue
+    gen.close()  # finally: stop.set() + join — must not hang or leak
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

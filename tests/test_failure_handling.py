@@ -245,3 +245,27 @@ def test_backend_failure_checkpoints_and_exits(tmp_path):
     latest = os.path.join(str(tmp_path), "checkpoints", "latest_model.npz")
     _, meta = load_flat(latest)
     assert meta["epoch"] == 1  # interrupted epoch 2 -> resumable from 1
+
+
+def test_only_validation_saves_updated_best(tmp_path):
+    """-V checkpoints must carry the POST-update best score (regression:
+    argument evaluation order read self.best_score before _is_best updated
+    it, so a later -R restored -inf and any score became 'best')."""
+    from fullsubnet_plus_tpu.io.checkpoint import load_flat
+    from fullsubnet_plus_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        FULLSUBNET_PLUS, TINY,
+        save_dir=str(tmp_path),
+        train_loader=None,
+        acoustics=dict(**ACOUSTICS, sr=16000),
+        epochs=1,
+        use_tensorboard=False,
+    )
+    trainer._validation_epoch = lambda epoch: 0.5
+    trainer.train(only_validation=True)
+
+    ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+    _, meta = load_flat(os.path.join(ckpt_dir, "latest_model.npz"))
+    assert meta["best_score"] == 0.5
+    assert os.path.exists(os.path.join(ckpt_dir, "best_model.npz"))

@@ -157,3 +157,64 @@ def test_sequence_model_tcn_shape(rng):
     )
     assert out.shape == (2, 64, 30)
     assert (out >= 0).all()
+
+def test_bilstm_matches_torch(rng):
+    """Bidirectional stacked LSTM: torch feeds layers >= 1 the 2H concat of
+    both directions (regression: lstm_init sized layer-1+ inputs at H, so
+    any bidirectional num_layers >= 2 model crashed on the first apply)."""
+    m = nn.LSTM(input_size=20, hidden_size=24, num_layers=2, batch_first=True,
+                bidirectional=True)
+    x = rng.standard_normal((3, 12, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = m(torch.from_numpy(x))
+    sd = m.state_dict()
+
+    def direction(sfx):
+        return {
+            "layers": [
+                {
+                    "w_ih": sd[f"weight_ih_l{l}{sfx}"].numpy().T.copy(),
+                    "w_hh": sd[f"weight_hh_l{l}{sfx}"].numpy().T.copy(),
+                    "b_ih": sd[f"bias_ih_l{l}{sfx}"].numpy().copy(),
+                    "b_hh": sd[f"bias_hh_l{l}{sfx}"].numpy().copy(),
+                }
+                for l in range(2)
+            ]
+        }
+
+    ours = jlstm.bilstm_apply(direction(""), direction("_reverse"), x)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_sequence_model_bidirectional_init_applies(rng):
+    """init/apply shape agreement for the bidirectional config surface."""
+    import jax
+
+    params = jseq.sequence_model_init(
+        jax.random.PRNGKey(0), input_size=16, output_size=2, hidden_size=24,
+        num_layers=2, bidirectional=True, sequence_model="LSTM",
+    )
+    x = rng.standard_normal((2, 16, 10)).astype(np.float32)
+    out = jseq.sequence_model_apply(
+        params, x, sequence_model="LSTM", bidirectional=True,
+        output_activate_function=False,
+    )
+    assert out.shape == (2, 2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eca_params_cast_and_grad(rng):
+    """ECA params must be a clean pytree of arrays: serving casts them with
+    tree_map and training differentiates them (regression: a Python int
+    k_size leaf broke both; k now comes from the conv weight's shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((2, 32, 20)).astype(np.float32)
+    params = jatt.eca_init(jax.random.PRNGKey(0), 32)
+    bf16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    out = jatt.eca_apply(bf16, jnp.asarray(x).astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
+
+    grads = jax.grad(lambda p: jatt.eca_apply(p, jnp.asarray(x)).sum())(params)
+    assert np.isfinite(np.asarray(grads["conv"]["weight"])).all()

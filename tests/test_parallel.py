@@ -92,3 +92,21 @@ def test_mesh_enhancer_matches_single_device(rng):
     out = sharded.enhance_batch(noisy)
     assert out.shape == ref.shape == (8, 4000)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+def test_auto_mesh_multi_host_sizing(monkeypatch):
+    """Multi-process auto_mesh must size the data axis from the GLOBAL batch
+    and use every device uniformly (regression: local-batch sizing built a
+    6-device mesh over 2x4-host topologies that globalize_batch's
+    make_array_from_process_local_data then rejects on the first batch)."""
+    import jax
+    import pytest
+
+    from fullsubnet_plus_tpu.parallel.mesh import auto_mesh
+
+    devices = jax.devices()
+    assert len(devices) == 8
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError):  # 18/host x 2 = 36, not divisible by 8
+        auto_mesh(18, devices=devices)
+    mesh = auto_mesh(16, devices=devices)  # 32 % 8 == 0 -> all devices
+    assert mesh.shape == {"data": 8, "freq": 1}
