@@ -104,3 +104,14 @@ class BatchLoader:
         finally:
             stop.set()
             thread.join(timeout=5.0)
+            if thread.is_alive():
+                # A worker mid-__getitem__ can exceed the join timeout; the
+                # daemon thread exits on its next stop check so the leak is
+                # bounded, but the stall must be observable, not silent.
+                from fullsubnet_plus_tpu.utils import logger
+
+                logger.log(
+                    "[Loader] WARNING: producer thread still alive 5 s after "
+                    "stop — a dataset worker is slow to finish its batch; it "
+                    "will exit on its next stop check"
+                )

@@ -50,7 +50,8 @@ def init_train_state(params, optimizer) -> TrainState:
 
 
 def _forward_fullsubnet_plus(model_def, config, params, noisy_mag, noisy_real,
-                             noisy_imag, training):
+                             noisy_imag, training, valid_frames=None):
+    kw = {} if valid_frames is None else {"valid_frames": valid_frames}
     return model_def.apply(
         params,
         noisy_mag[:, None],
@@ -58,13 +59,16 @@ def _forward_fullsubnet_plus(model_def, config, params, noisy_mag, noisy_real,
         noisy_imag[:, None],
         config,
         training=training,
+        **kw,
     )
 
 
 def _forward_fullsubnet(model_def, config, params, noisy_mag, noisy_real,
-                        noisy_imag, training):
+                        noisy_imag, training, valid_frames=None):
     del noisy_real, noisy_imag
-    return model_def.apply(params, noisy_mag[:, None], config, training=training)
+    kw = {} if valid_frames is None else {"valid_frames": valid_frames}
+    return model_def.apply(params, noisy_mag[:, None], config,
+                           training=training, **kw)
 
 
 def _model_forward(model_def):
@@ -308,3 +312,88 @@ def make_eval_step(
         return loss, enhanced
 
     return eval_step
+
+
+def make_bucketed_eval_step(
+    model_def,
+    config,
+    loss_fn,
+    *,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    mesh=None,
+):
+    """Batched, length-masked validation step for bucket-padded utterances.
+
+    The reference validates one utterance at a time at its natural length
+    (trainer.py:383 asserts batch_size == 1) — on TPU that is a fresh XLA
+    compile per distinct length and a near-idle chip at batch 1. This step
+    takes a [B, Lp] bucket-padded batch plus each row's true sample count and
+    reproduces, per row, the exact-length batch-1 result:
+
+      * the padded tail is rewritten with the reflection torch.stft's
+        center=True padding would produce (enhance._reflect_fix_tail), for
+        BOTH noisy and clean, so every valid STFT frame is bitwise the
+        exact run's;
+      * the model runs with `valid_frames` masking (models/*.apply), so its
+        global-over-time statistics see only the real frames;
+      * the loss is a per-row masked MSE over the valid frames — identical
+        to the exact run's full-tensor MSE (same numerator, same F·T_i·2
+        denominator), returned as a [B] vector (loss_fn is fixed to MSE
+        semantics here because per-row masking needs the reduction inline);
+      * the enhanced waveform uses the per-row window-envelope iSTFT
+        normalization (dsp/stft.istft valid_frames).
+
+    Returns (losses [B], enhanced [B, Lp]); callers slice each row to its
+    true length. Under a mesh the batch shards over the 'data' axis.
+    """
+    del loss_fn  # masked per-row MSE is computed inline (see docstring)
+    from fullsubnet_plus_tpu.dsp.norms import time_mask
+    from fullsubnet_plus_tpu.enhance import _crm_to_wave, _reflect_fix_tail
+
+    forward = _model_forward(model_def)
+
+    def eval_step(params, noisy, clean, lengths):
+        length = noisy.shape[-1]  # before the reflect-fix extension
+        valid_frames = (1 + lengths // hop_length).astype(jnp.int32)
+        noisy_e = _reflect_fix_tail(noisy, lengths, n_fft, hop_length)
+        clean_e = _reflect_fix_tail(clean, lengths, n_fft, hop_length)
+        noisy_mag, noisy_real, noisy_imag = stft_split(
+            noisy_e, n_fft, hop_length, win_length
+        )
+        _, clean_real, clean_imag = stft_split(
+            clean_e, n_fft, hop_length, win_length
+        )
+        cirm = build_complex_ideal_ratio_mask(
+            noisy_real, noisy_imag, clean_real, clean_imag
+        )  # [B, F, T, 2]
+        crm = forward(
+            model_def, config, params, noisy_mag, noisy_real, noisy_imag,
+            False, valid_frames=valid_frames,
+        )
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        tmask = time_mask(crm.shape[2], valid_frames, crm.dtype)[
+            :, None, :, None
+        ]
+        sq = jnp.square(cirm - crm) * tmask
+        denom = (crm.shape[1] * crm.shape[3]) * valid_frames.astype(crm.dtype)
+        losses = jnp.sum(sq, axis=(1, 2, 3)) / denom
+        enhanced = _crm_to_wave(
+            crm, noisy_real, noisy_imag, length, n_fft, hop_length,
+            win_length, valid_frames=valid_frames,
+        )
+        return losses, enhanced
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    batch2 = data_sharding(mesh, ndim=2)
+    batch1 = data_sharding(mesh, ndim=1)
+    jitted = jax.jit(eval_step, in_shardings=(None, batch2, batch2, batch1))
+
+    def run(params, noisy, clean, lengths):
+        with jax.set_mesh(mesh):
+            return jitted(params, noisy, clean, lengths)
+
+    run._jitted = jitted  # expose for compile-count assertions
+    return run

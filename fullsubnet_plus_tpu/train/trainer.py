@@ -31,6 +31,7 @@ from fullsubnet_plus_tpu.io.checkpoint import CheckpointManager
 from fullsubnet_plus_tpu.train.step import (
     TrainState,
     init_train_state,
+    make_bucketed_eval_step,
     make_eval_step,
     make_train_step,
     make_optimizer,
@@ -55,6 +56,8 @@ class Trainer:
         validation_interval: int = 1,
         validation_metrics=("STOI", "SI_SDR"),
         metric_workers: int = 4,
+        valid_batch_size: int = 8,
+        valid_num_buckets: int = 2,
         save_max_metric_score: bool = True,
         mesh=None,
         compute_dtype=None,
@@ -86,6 +89,18 @@ class Trainer:
             m for m in validation_metrics if metric_available(m)
         ]
         self.metric_workers = metric_workers
+        # Bucketed validation (valid_batch_size > 0): utterances are sorted
+        # by length into `valid_num_buckets` buckets, zero-padded to each
+        # bucket's max length, and evaluated length-masked at this batch
+        # size — ≤ valid_num_buckets compiled XLA programs total instead of
+        # one per distinct utterance length, and the chip runs full batches
+        # instead of batch 1 (the reference's per-utterance pattern,
+        # trainer.py:383). Set valid_batch_size=0 for the per-utterance path.
+        if mesh is not None and valid_batch_size:
+            data_size = mesh.shape.get("data", 1)
+            valid_batch_size = -(-valid_batch_size // data_size) * data_size
+        self.valid_batch_size = valid_batch_size
+        self.valid_num_buckets = max(1, valid_num_buckets)
         self.save_max_metric_score = save_max_metric_score
         self.is_primary = is_primary
 
@@ -122,6 +137,9 @@ class Trainer:
         )
         self.eval_step = make_eval_step(
             model_def, model_config, self.loss_fn, **self.acoustics
+        )
+        self.bucketed_eval_step = make_bucketed_eval_step(
+            model_def, model_config, self.loss_fn, mesh=mesh, **self.acoustics
         )
 
         self.mesh = mesh
@@ -266,9 +284,13 @@ class Trainer:
                 score = self._validation_epoch(epoch)
                 # _is_best must run BEFORE best_score is read (it updates it);
                 # argument order here previously saved the stale pre-update
-                # value, which a later -R resume would restore.
+                # value, which a later -R resume would restore. All hosts run
+                # _is_best (keeps best_score state consistent) but only the
+                # primary writes — a multi-host -V run must not have every
+                # process racing on latest/best checkpoint files.
                 is_best = self._is_best(score)
-                self.ckpt.save(self.state, epoch, self.best_score, is_best)
+                if self.is_primary:
+                    self.ckpt.save(self.state, epoch, self.best_score, is_best)
                 return
             t0 = time.time()
             try:
@@ -385,8 +407,81 @@ class Trainer:
         return loss_total / max(n_counted, 1)
 
     def _validation_epoch(self, epoch: int) -> float:
-        """Per-utterance eval + CPU metrics, split by speech type
-        (trainer.py:364-444). Returns the no-reverb gate score."""
+        """Validation epoch, split by speech type (trainer.py:364-444).
+        Returns the no-reverb gate score. Bucketed by default — see
+        _validation_epoch_bucketed; valid_batch_size=0 selects the
+        reference-shaped per-utterance loop."""
+        if self.valid_batch_size:
+            return self._validation_epoch_bucketed(epoch)
+        return self._validation_epoch_per_utterance(epoch)
+
+    def _validation_epoch_bucketed(self, epoch: int) -> float:
+        """Length-bucketed, batched, mesh-aware validation.
+
+        Utterances are sorted by length into valid_num_buckets buckets; each
+        bucket is zero-padded to its own max length and evaluated in fixed
+        valid_batch_size batches through the length-masked eval step
+        (train/step.py make_bucketed_eval_step) — at most valid_num_buckets
+        compiled programs, reused across epochs, each row numerically
+        matching its exact-length batch-1 run. Partial final batches are
+        filled by repeating the first row (well-defined statistics; the
+        duplicate outputs are dropped)."""
+        t0 = time.time()
+        n = len(self.valid_dataset)
+        items = [self.valid_dataset[i] for i in range(n)]
+        lengths = np.array([len(it[0]) for it in items], np.int64)
+        order = np.argsort(lengths, kind="stable")
+        per_bucket = -(-n // self.valid_num_buckets)
+        batch = self.valid_batch_size
+
+        loss_by_type: dict = {}
+        pairs_by_type: dict = {}
+        for b0 in range(0, n, per_bucket):
+            bucket = order[b0 : b0 + per_bucket]
+            bucket_len = int(lengths[bucket].max())
+            for s0 in range(0, len(bucket), batch):
+                group = bucket[s0 : s0 + batch]
+                noisy_b = np.zeros((batch, bucket_len), np.float32)
+                clean_b = np.zeros((batch, bucket_len), np.float32)
+                lens_b = np.empty((batch,), np.int32)
+                for j in range(batch):
+                    src = group[j] if j < len(group) else group[0]
+                    L = int(lengths[src])
+                    noisy_b[j, :L] = items[src][0]
+                    clean_b[j, :L] = items[src][1]
+                    lens_b[j] = L
+                losses, enhanced = self.bucketed_eval_step(
+                    self.state.params, noisy_b, clean_b, lens_b
+                )
+                losses = np.asarray(losses)
+                enhanced = np.asarray(enhanced)
+                for j, src in enumerate(group):
+                    noisy_i, clean_i, name, speech_type = items[src]
+                    enh = enhanced[j, : int(lengths[src])]
+                    loss_by_type.setdefault(speech_type, []).append(
+                        float(losses[j])
+                    )
+                    if (
+                        len(pairs_by_type.get(speech_type, ()))
+                        < self.visualization_n_samples
+                    ):
+                        self.spec_audio_visualization(
+                            noisy_i, enh, clean_i, name, epoch, mark=speech_type
+                        )
+                    pairs_by_type.setdefault(speech_type, []).append(
+                        (clean_i, enh)
+                    )
+        logger.log(
+            f"[Val] epoch {epoch} bucketed eval: {n} utterances, "
+            f"{self.valid_num_buckets} bucket(s) x batch {batch}, "
+            f"{time.time() - t0:.1f}s"
+        )
+        return self._score_splits(loss_by_type, pairs_by_type, epoch)
+
+    def _validation_epoch_per_utterance(self, epoch: int) -> float:
+        """The reference-shaped loop: one utterance per step at its natural
+        length (trainer.py:364-444) — every distinct length is a fresh XLA
+        compile, so this is only for tiny corpora / A-B verification."""
         loss_by_type: dict = {}
         pairs_by_type: dict = {}
         for i in range(len(self.valid_dataset)):
@@ -401,8 +496,12 @@ class Trainer:
                     noisy, enhanced, clean, name, epoch, mark=speech_type
                 )
             pairs_by_type.setdefault(speech_type, []).append((clean, enhanced))
+        return self._score_splits(loss_by_type, pairs_by_type, epoch)
 
-        gate_score = 0.0
+    def _score_splits(self, loss_by_type: dict, pairs_by_type: dict,
+                      epoch: int) -> float:
+        """CPU metrics + TB scalars per split, then the best-model gate."""
+        scores: dict = {}
         for speech_type, pairs in pairs_by_type.items():
             mean_loss = float(np.mean(loss_by_type[speech_type]))
             logger.log(f"[Val] epoch {epoch} {speech_type} loss {mean_loss:.6f}")
@@ -425,7 +524,23 @@ class Trainer:
                         self.writer.add_scalar(
                             f"{metric}/{speech_type}", means[metric], epoch
                         )
-            score = validation_score(means) if means else -np.inf
-            if speech_type == "No_reverb" or gate_score == 0.0:
-                gate_score = score
-        return gate_score
+            scores[speech_type] = validation_score(means) if means else -np.inf
+        return self._gate_score(scores)
+
+    def _gate_score(self, scores: dict) -> float:
+        """The best-model gate is the No_reverb split's score, looked up
+        explicitly like the reference (trainer.py:444 indexes
+        validation_score_list["No_reverb"]). When the split is absent
+        (custom corpora) we fall back to the first split LOUDLY instead of
+        raising — a legitimate 0.0 No_reverb score must gate as 0.0, never
+        be overwritten by a later split (the old ==0.0 sentinel bug)."""
+        if not scores:
+            return -np.inf
+        if "No_reverb" in scores:
+            return scores["No_reverb"]
+        speech_type, score = next(iter(scores.items()))
+        logger.log(
+            f"[Val] WARNING: no No_reverb split in {sorted(scores)}; "
+            f"best-model gate falling back to {speech_type!r}"
+        )
+        return score
