@@ -295,6 +295,99 @@ def test_residual_step_loss_parity(ref_setup, rng):
     np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_loss_curve_parity_vs_reference(ref_setup, rng):
+    """Multi-step optimizer-trajectory parity (BASELINE config #3): 50
+    identical batches through the reference trainer math in torch — Adam
+    lr 1e-3 β=(0.9,0.999) + clip_grad_norm_(10) per
+    fullsubnet_plus/trainer/trainer.py:347-351 / tools/train.py:58-66 — and
+    through make_train_step, must produce the same loss curve at every step.
+
+    Uses a shrunken model (33 bins, small hiddens) so 50 torch-CPU steps stay
+    fast; the step math (cIRM target, drop_band, MSE, clip, Adam) is
+    config-size-independent. Matmuls run at HIGHEST precision on the JAX
+    side (CLAUDE.md: default precision is bf16-like even on CPU)."""
+    if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    for p in (REFERENCE, "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
+    from audio_zen.acoustics.mask import build_complex_ideal_ratio_mask as t_cirm
+    from audio_zen.acoustics.feature import drop_band as t_drop
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+
+    torch.manual_seed(11)
+    tmodel = FullSubNet_Plus(
+        num_freqs=33, look_ahead=2, sequence_model="LSTM",
+        fb_num_neighbors=0, sb_num_neighbors=4,
+        fb_output_activate_function="ReLU", sb_output_activate_function=False,
+        fb_model_hidden_size=32, sb_model_hidden_size=24,
+        channel_attention_model="TSSE", norm_type="offline_laplace_norm",
+        num_groups_in_drop_band=2, kersize=[3, 5, 10], subband_num=1,
+        weight_init=False,
+    ).train()
+
+    # snapshot the initial weights BEFORE the torch loop mutates them
+    init_sd = {k: v.detach().clone() for k, v in tmodel.state_dict().items()}
+
+    n_steps, B, L = 50, 4, 4096
+    batches = [
+        (
+            (rng.standard_normal((B, L)) * 0.1).astype(np.float32),
+            (rng.standard_normal((B, L)) * 0.1).astype(np.float32),
+        )
+        for _ in range(n_steps)
+    ]
+    # make clean correlated with noisy (a denoising-shaped problem)
+    batches = [(n, (0.8 * n + 0.2 * c).astype(np.float32)) for n, c in batches]
+
+    # -- torch trajectory -----------------------------------------------------
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    win = torch.hann_window(64)
+    torch_losses = []
+    for noisy, clean in batches:
+        opt.zero_grad()
+        nc = torch.stft(torch.from_numpy(noisy), 64, 32, 64, window=win,
+                        return_complex=True)
+        cc = torch.stft(torch.from_numpy(clean), 64, 32, 64, window=win,
+                        return_complex=True)
+        gt = t_drop(t_cirm(nc, cc).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1)
+        crm = tmodel(nc.abs().unsqueeze(1), nc.real.unsqueeze(1),
+                     nc.imag.unsqueeze(1)).permute(0, 2, 3, 1)
+        loss = torch.nn.functional.mse_loss(gt, crm)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), 10)
+        opt.step()
+        torch_losses.append(loss.item())
+
+    # -- our trajectory --------------------------------------------------------
+    cfg = FullSubNetPlusConfig(
+        num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=32,
+        sb_model_hidden_size=24,
+    )
+    params = convert_fullsubnet_plus(init_sd)
+    optimizer = make_optimizer(lr=1e-3, clip_grad_norm=10.0)
+    state = init_train_state(params, optimizer)
+    jax_losses = []
+    with jax.default_matmul_precision("highest"):
+        step = make_train_step(
+            FULLSUBNET_PLUS, cfg, optimizer, mse_loss,
+            n_fft=64, hop_length=32, win_length=64,
+        )
+        for noisy, clean in batches:
+            state, metrics = step(state, noisy, clean)
+            jax_losses.append(float(metrics["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    jax_losses = np.asarray(jax_losses)
+    # the curve must descend and track the reference at every step
+    # (measured max relative deviation ~1.2e-3 at step 45 — fp32
+    # accumulation noise through 50 Adam updates, see docs/PARITY.md)
+    assert torch_losses[-1] < torch_losses[0]
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3, atol=1e-6)
+
+
 def test_eval_step_runs(rng):
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0))
     eval_step = make_eval_step(FULLSUBNET_PLUS, CFG, mse_loss)
