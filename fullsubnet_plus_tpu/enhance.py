@@ -340,10 +340,20 @@ class Enhancer:
 
         return self._jit("sub_band", fn)(noisy)
 
-    def overlapped_chunk(self, noisy, chunk_seconds: int = 4):
+    def overlapped_chunk(self, noisy, chunk_seconds: int = 4,
+                         chunk_batch: int = 8):
         """Streaming Hann-overlap-add chunks for unbounded-length audio
         (inferencer.py:191-250, single-channel form): each chunk gets 256
-        samples of noisy pre-context, and halves are cross-faded 50%."""
+        samples of noisy pre-context, and halves are cross-faded 50%.
+
+        TPU-first shape discipline: every chunk is dispatched at ONE fixed
+        shape [chunk_batch, 256 + chunk_length] through the length-masked
+        base mode — the tail chunk is zero-padded and carries its true
+        length, and partial final groups repeat row 0 (outputs dropped). One
+        compiled XLA program therefore serves any utterance length, and
+        chunks ride the chip in batches instead of one ~25 ms host
+        round-trip each (the round-1 form recompiled per distinct tail
+        length; docs/PERFORMANCE.md has the measured streaming RTF)."""
         noisy = np.asarray(noisy)
         assert noisy.ndim == 2 and noisy.shape[0] == 1, "streaming mode is per-utterance"
         y = noisy[0]
@@ -355,26 +365,56 @@ class Enhancer:
 
         base = getattr(self, "mag_complex_full_band_crm_mask"
                        if self.model_def.n_inputs == 3 else "full_band_crm_mask")
-        prev = None
-        out = []
+        in_len = 256 + chunk_length
+
+        # host-side chunk table (reference loop structure, single-channel)
+        rows, lens = [], []
         for idx in range(num_chunks):
             start = idx * hop
-            pad = np.zeros(256, np.float32) if idx == 0 else y[start - 256 : start]
-            chunk = np.concatenate([pad, y[start : start + chunk_length]])
-            if len(chunk) <= 256:
+            content = y[start : start + chunk_length]
+            if len(content) == 0:  # pad-only tail: reference yields nothing
                 break
-            enhanced = np.asarray(base(jnp.asarray(chunk[None])))[0][256:]
+            row = np.zeros(in_len, np.float32)
+            if idx > 0:
+                row[:256] = y[start - 256 : start]
+            row[256 : 256 + len(content)] = content
+            rows.append(row)
+            lens.append(256 + len(content))
+
+        # fixed-shape batched dispatch through the masked mode
+        enhanced_rows = []
+        for s in range(0, len(rows), chunk_batch):
+            group = rows[s : s + chunk_batch]
+            group_lens = lens[s : s + chunk_batch]
+            n_real = len(group)
+            while len(group) < chunk_batch:  # repeat row 0; outputs dropped
+                group.append(rows[0])
+                group_lens.append(lens[0])
+            out = np.asarray(
+                base(jnp.asarray(np.stack(group)),
+                     lengths=np.asarray(group_lens, np.int64))
+            )
+            for j in range(n_real):
+                enhanced_rows.append(out[j, 256 : lens[s + j]])
+
+        # Hann OLA assembly, exactly the reference's math (inferencer.py:
+        # 218-243): first chunk's first half passes through unwindowed; every
+        # later chunk is windowed and its first half cross-fades with the
+        # saved second half of the previous chunk.
+        prev = None
+        out_segs = []
+        for idx, enhanced in enumerate(enhanced_rows):
             if idx == 0:
-                cur = enhanced[: chunk_length // 2]
-                prev = enhanced[chunk_length // 2 :] * window[chunk_length // 2 :][: max(0, len(enhanced) - chunk_length // 2)]
+                cur = enhanced[:hop]
+                prev = enhanced[hop:] * window[hop:][: max(0, len(enhanced) - hop)]
             else:
                 enhanced = enhanced * window[: len(enhanced)]
-                tmp = enhanced[: chunk_length // 2]
+                tmp = enhanced[:hop]
                 n = min(len(tmp), len(prev))
                 cur = tmp[:n] + prev[:n]
-                prev = enhanced[chunk_length // 2 :]
-            out.append(cur)
-        enhanced_full = np.concatenate(out) if out else np.zeros_like(y)
+                prev = enhanced[hop:]
+            out_segs.append(cur)
+        enhanced_full = np.concatenate(out_segs) if out_segs else np.zeros_like(y)
         return jnp.asarray(enhanced_full[: len(y)][None])
 
     def time_domain(self, noisy):
