@@ -278,10 +278,37 @@ class Trainer:
                     pass
             self._prev_handlers = {}
 
+    def _validation_score(self, epoch: int) -> float:
+        """Validation with the reference's rank-0-only work pattern
+        (base_trainer.py:328-339): in multi-host runs only the primary host
+        evaluates — the others would duplicate the whole epoch — and the
+        score is broadcast so every host's best_score state stays
+        consistent. A primary-side failure broadcasts NaN, so non-primary
+        hosts raise the same error instead of hanging in the collective."""
+        if jax.process_count() == 1:
+            return self._validation_epoch(epoch)
+        from jax.experimental import multihost_utils
+
+        score = np.float32(np.nan)
+        if self.is_primary:
+            try:
+                score = np.float32(self._validation_epoch(epoch))
+            except Exception:
+                logger.log(
+                    f"[Val] epoch {epoch} failed on the primary host:\n"
+                    f"{traceback.format_exc()}"
+                )
+        out = float(multihost_utils.broadcast_one_to_all(score))
+        if np.isnan(out):
+            raise RuntimeError(
+                f"validation epoch {epoch} failed on the primary host"
+            )
+        return out
+
     def _train_loop(self, only_validation: bool = False):
         for epoch in range(self.start_epoch, self.epochs + 1):
             if only_validation:
-                score = self._validation_epoch(epoch)
+                score = self._validation_score(epoch)
                 # _is_best must run BEFORE best_score is read (it updates it);
                 # argument order here previously saved the stale pre-update
                 # value, which a later -R resume would restore. All hosts run
@@ -345,7 +372,7 @@ class Trainer:
                 # gate this round, keep training. Part of the failure-
                 # detection story (ARCHITECTURE.md) — the reference dies.
                 try:
-                    score = self._validation_epoch(epoch)
+                    score = self._validation_score(epoch)
                 except Exception:
                     logger.log(
                         f"[Val] epoch {epoch} FAILED — continuing training:\n"

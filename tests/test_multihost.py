@@ -52,6 +52,87 @@ print(f"LOSS:{float(metrics['loss']):.10f}", flush=True)
 """
 
 
+VAL_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=proc_id)
+import numpy as np
+from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+from fullsubnet_plus_tpu.train.trainer import Trainer
+
+cfg = FullSubNetPlusConfig(num_freqs=33, sb_num_neighbors=4,
+                           fb_model_hidden_size=16, sb_model_hidden_size=16)
+
+class MustNotTouch:
+    def __len__(self):
+        raise AssertionError("non-primary host evaluated the validation set")
+    def __getitem__(self, i):
+        raise AssertionError("non-primary host evaluated the validation set")
+
+class TinyVal:
+    def __len__(self):
+        return 2
+    def __getitem__(self, i):
+        rng = np.random.default_rng(i)
+        clean = (0.1 * rng.standard_normal(2048)).astype(np.float32)
+        noisy = (clean + 0.05 * rng.standard_normal(2048)).astype(np.float32)
+        return noisy, clean, f"u{i}", "No_reverb"
+
+trainer = Trainer(
+    FULLSUBNET_PLUS, cfg,
+    save_dir=sys.argv[3],
+    train_loader=None,
+    valid_dataset=TinyVal() if proc_id == 0 else MustNotTouch(),
+    acoustics=dict(n_fft=64, hop_length=32, win_length=64, sr=16000),
+    validation_metrics=("SI_SDR",),
+    use_tensorboard=False,
+    is_primary=(proc_id == 0),
+)
+score = trainer._validation_score(1)
+print(f"SCORE:{score:.10f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_validation_primary_only(tmp_path):
+    """Multi-host validation runs on the primary only (reference's rank-0
+    pattern, base_trainer.py:328-339); the gate score is broadcast so
+    best_score state stays consistent on every host."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "val_worker.py"
+    worker.write_text(VAL_WORKER)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+
+    port = "12519"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port,
+             str(tmp_path / f"exp{i}")],
+            env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    scores = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        scores += [float(l.split("SCORE:")[1]) for l in out.splitlines()
+                   if "SCORE:" in l]
+    assert len(scores) == 2
+    assert scores[0] == scores[1], scores
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single(tmp_path, rng):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
