@@ -105,8 +105,18 @@ def build_trainer(config: dict, args) -> "Trainer":
         save_max_metric_score=trainer_cfg.get("validation", {}).get(
             "save_max_metric_score", True
         ),
+        # bucketed validation knobs (0 buckets the reference-shaped
+        # per-utterance loop; see train/trainer.py _validation_epoch)
+        valid_batch_size=trainer_cfg.get("validation", {}).get(
+            "batch_size", 8
+        ),
+        valid_num_buckets=trainer_cfg.get("validation", {}).get(
+            "num_buckets", 2
+        ),
         mesh=mesh,
         compute_dtype="bfloat16" if args.bf16 else None,
+        remat=args.remat
+        or trainer_cfg.get("train", {}).get("remat", False),
         seed=seed,
         is_primary=is_primary,
     )
@@ -124,6 +134,9 @@ def main(argv=None):
     parser.add_argument("-V", "--only_validation", action="store_true")
     parser.add_argument("-P", "--preloaded_model_path", default=None)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the model forward (activation "
+                             "memory for FLOPs — larger per-chip batches)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--num-hosts", type=int, default=None)

@@ -61,6 +61,7 @@ class Trainer:
         save_max_metric_score: bool = True,
         mesh=None,
         compute_dtype=None,
+        remat: bool = False,
         seed: int = 0,
         is_primary: bool = True,
         use_tensorboard: bool = True,
@@ -133,7 +134,7 @@ class Trainer:
                  "bfloat16": jnp.bfloat16}.get(compute_dtype, jnp.float32)
         self.train_step = make_train_step(
             model_def, model_config, self.optimizer, self.loss_fn,
-            compute_dtype=dtype, mesh=mesh, **self.acoustics,
+            compute_dtype=dtype, mesh=mesh, remat=remat, **self.acoustics,
         )
         self.eval_step = make_eval_step(
             model_def, model_config, self.loss_fn, **self.acoustics
