@@ -338,17 +338,18 @@ def make_bucketed_eval_step(
         exact run's;
       * the model runs with `valid_frames` masking (models/*.apply), so its
         global-over-time statistics see only the real frames;
-      * the loss is a per-row masked MSE over the valid frames — identical
-        to the exact run's full-tensor MSE (same numerator, same F·T_i·2
-        denominator), returned as a [B] vector (loss_fn is fixed to MSE
-        semantics here because per-row masking needs the reduction inline);
+      * the loss is per-row over the valid frames — identical to the exact
+        run's full-tensor value, returned as a [B] vector. Any
+        mean-of-pointwise loss (mse_loss, l1_loss) is supported exactly:
+        the masked region contributes pointwise-loss(0,0)=0 to the sum, so
+        rescaling the padded mean by T_padded/T_valid reproduces the
+        exact-length mean;
       * the enhanced waveform uses the per-row window-envelope iSTFT
         normalization (dsp/stft.istft valid_frames).
 
     Returns (losses [B], enhanced [B, Lp]); callers slice each row to its
     true length. Under a mesh the batch shards over the 'data' axis.
     """
-    del loss_fn  # masked per-row MSE is computed inline (see docstring)
     from fullsubnet_plus_tpu.dsp.norms import time_mask
     from fullsubnet_plus_tpu.enhance import _crm_to_wave, _reflect_fix_tail
 
@@ -376,9 +377,11 @@ def make_bucketed_eval_step(
         tmask = time_mask(crm.shape[2], valid_frames, crm.dtype)[
             :, None, :, None
         ]
-        sq = jnp.square(cirm - crm) * tmask
-        denom = (crm.shape[1] * crm.shape[3]) * valid_frames.astype(crm.dtype)
-        losses = jnp.sum(sq, axis=(1, 2, 3)) / denom
+        # per-row loss_fn over masked tensors, rescaled from the padded mean
+        # to the valid-frame mean (exact for mean-of-pointwise losses)
+        losses = jax.vmap(loss_fn)(cirm * tmask, crm * tmask) * (
+            crm.shape[2] / valid_frames.astype(crm.dtype)
+        )
         enhanced = _crm_to_wave(
             crm, noisy_real, noisy_imag, length, n_fft, hop_length,
             win_length, valid_frames=valid_frames,

@@ -149,6 +149,42 @@ def test_bucketed_validation_matches_per_utterance(tmp_path):
             assert err / ref_n < 2e-2, (st, len(clean), err / ref_n)
 
 
+def test_bucketed_eval_step_honors_loss_fn():
+    """The per-row masked reduction must reproduce the configured loss_fn
+    (not silently MSE): l1 per-row values equal each utterance's
+    exact-length eval_step l1."""
+    import jax
+
+    from fullsubnet_plus_tpu.train.loss import l1_loss
+    from fullsubnet_plus_tpu.train.step import (
+        make_bucketed_eval_step,
+        make_eval_step,
+    )
+
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), TINY)
+    ac = dict(n_fft=64, hop_length=32, win_length=64)
+    eval_step = make_eval_step(FULLSUBNET_PLUS, TINY, l1_loss, **ac)
+    bucketed = make_bucketed_eval_step(FULLSUBNET_PLUS, TINY, l1_loss, **ac)
+
+    rng = np.random.default_rng(5)
+    lengths = np.array([2048, 3000], np.int32)
+    Lp = int(lengths.max())
+    noisy = np.zeros((2, Lp), np.float32)
+    clean = np.zeros((2, Lp), np.float32)
+    for j, L in enumerate(lengths):
+        c = (0.1 * rng.standard_normal(L)).astype(np.float32)
+        noisy[j, :L] = c + 0.05 * rng.standard_normal(L)
+        clean[j, :L] = c
+    losses, _ = bucketed(params, noisy, clean, lengths)
+    for j, L in enumerate(lengths):
+        ref_loss, _ = eval_step(
+            params, noisy[j, :L][None], clean[j, :L][None]
+        )
+        np.testing.assert_allclose(
+            float(losses[j]), float(ref_loss), rtol=2e-3,
+        )
+
+
 @pytest.mark.slow
 def test_bucketed_validation_compiles_at_most_num_buckets_programs(tmp_path):
     """The whole point: ≤ valid_num_buckets XLA programs for any corpus of
