@@ -128,6 +128,37 @@ def test_fullsubnet_forward_parity(ref_modules, rng):
     np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
 
 
+def test_fullsubnet_plus_se_variant_forward_parity(ref_modules, rng):
+    """The config-selectable SE channel-attention variant, end to end through
+    the converter (the shipped config uses TSSE; SE/ECA/CBAM are the
+    reference's alternatives, fullsubnet_plus.py channel_attention_model)."""
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+
+    FullSubNet_Plus, _ = ref_modules
+    torch.manual_seed(6)
+    ref = FullSubNet_Plus(
+        channel_attention_model="SE", kersize=[3, 5, 10], subband_num=1,
+        **SHARED_ARGS,
+    ).eval()
+
+    T = 24
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    real = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    imag = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(mag), torch.from_numpy(real), torch.from_numpy(imag)
+        ).numpy()
+    params = convert_fullsubnet_plus(
+        ref.state_dict(), channel_attention_model="SE"
+    )
+    config = jmodel.FullSubNetPlusConfig(channel_attention_model="SE")
+    ours = np.asarray(jmodel.apply(params, mag, real, imag, config, training=False))
+    assert ours.shape == ref_out.shape == (1, 2, 257, T)
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
 def test_param_count_matches_paper(ref_modules):
     """8.67 M params for the shipped FullSubNet+ (SURVEY.md §2.6)."""
     import jax

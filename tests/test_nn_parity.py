@@ -124,6 +124,41 @@ def test_se_eca_cbam_run(rng):
         assert np.isfinite(out).all()
 
 
+def test_se_eca_cbam_torch_parity(rng):
+    """Converter + apply parity for the alternative channel-attention
+    variants against the ACTUAL reference classes (attention_model.py:6-40,
+    296-332, 335-359) — round-1 only smoke-tested these."""
+    import sys
+    import types
+
+    sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    for p in ("/root/reference/speech_enhance", "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from audio_zen.model.module.attention_model import (
+        ChannelCBAMLayer,
+        ChannelECAlayer,
+        ChannelSELayer,
+    )
+
+    x = rng.standard_normal((3, 32, 25)).astype(np.float32)
+    torch.manual_seed(4)
+    refs = {
+        "SE": ChannelSELayer(32),
+        "CBAM": ChannelCBAMLayer(32),
+        "ECA": ChannelECAlayer(32),
+    }
+    for name, mod in refs.items():
+        mod.eval()
+        with torch.no_grad():
+            want = mod(torch.from_numpy(x)).numpy()
+        sd = {f"a.{k}": v for k, v in mod.state_dict().items()}
+        params = tc.convert_channel_attention(sd, "a", name)
+        ours = np.asarray(jatt.channel_attention_apply(params, name, x))
+        np.testing.assert_allclose(ours, want, atol=1e-5, rtol=1e-4,
+                                   err_msg=name)
+
+
 def test_sequence_model_lstm_matches_torch(rng):
     """Full SequenceModel: LSTM + Linear + no activation (sb_model config)."""
     lstm = nn.LSTM(input_size=34, hidden_size=48, num_layers=2, batch_first=True)
