@@ -64,6 +64,7 @@ def run_enhance(config: dict, checkpoint_path: str, output_dir: str,
             if compute_dtype is not None
             else inferencer_cfg.get("args", {}).get("compute_dtype")
         ),
+        inference_args=inferencer_cfg.get("args", {}),
     )
 
     dirs = input_dirs or config["dataset"]["args"]["dataset_dir_list"]

@@ -95,7 +95,7 @@ class Enhancer:
 
     def __init__(self, model_def, model_config, params, *, inference_type="mag_complex_full_band_crm_mask",
                  n_fft=512, hop_length=256, win_length=512, sr=16000, n_neighbor=15,
-                 mesh=None, compute_dtype=None):
+                 mesh=None, compute_dtype=None, inference_args=None):
         self.model_def = model_def
         self.model_config = model_config
         # compute_dtype="bfloat16" casts weights + model activations for the
@@ -122,6 +122,9 @@ class Enhancer:
         self.sr = sr
         self.n_neighbor = n_neighbor
         self.mesh = mesh
+        # the reference's per-mode [inferencer.args] table (e.g. chunk_length
+        # in seconds for overlapped_chunk, inferencer.py:197)
+        self.inference_args = dict(inference_args or {})
         if not hasattr(self, self.inference_type):
             raise NotImplementedError(f"Unknown inference type {inference_type}")
         self._jitted = {}
@@ -340,7 +343,7 @@ class Enhancer:
 
         return self._jit("sub_band", fn)(noisy)
 
-    def overlapped_chunk(self, noisy, chunk_seconds: int = 4,
+    def overlapped_chunk(self, noisy, chunk_seconds: int | None = None,
                          chunk_batch: int = 8):
         """Streaming Hann-overlap-add chunks for unbounded-length audio
         (inferencer.py:191-250, single-channel form): each chunk gets 256
@@ -354,6 +357,8 @@ class Enhancer:
         chunks ride the chip in batches instead of one ~25 ms host
         round-trip each (the round-1 form recompiled per distinct tail
         length; docs/PERFORMANCE.md has the measured streaming RTF)."""
+        if chunk_seconds is None:  # config surface: [inferencer.args] chunk_length
+            chunk_seconds = self.inference_args.get("chunk_length", 4)
         noisy = np.asarray(noisy)
         assert noisy.ndim == 2 and noisy.shape[0] == 1, "streaming mode is per-utterance"
         y = noisy[0]

@@ -192,6 +192,24 @@ def test_overlapped_chunk_matches_reference_ola(noisy):
     assert err_head < 2e-3, f"full-chunk region mismatch: {err_head:.3e}"
 
 
+def test_overlapped_chunk_config_chunk_length():
+    """[inferencer.args] chunk_length (seconds) reaches the streaming mode
+    (reference inferencer.py:197 reads inference_args['chunk_length'])."""
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL_PLUS)
+    kw = dict(inference_type="overlapped_chunk", sr=16000, **ACOUSTICS)
+    e_cfg = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params,
+                     inference_args={"chunk_length": 1}, **kw)
+    e_plain = Enhancer(FULLSUBNET_PLUS, SMALL_PLUS, params, **kw)
+    rng = np.random.default_rng(2)
+    y = (0.1 * rng.standard_normal(20000)).astype(np.float32)[None]
+    # config default == explicit chunk_seconds=1; differs from the 4 s default
+    out_cfg = np.asarray(e_cfg.overlapped_chunk(y))
+    out_1s = np.asarray(e_plain.overlapped_chunk(y, chunk_seconds=1))
+    out_4s = np.asarray(e_plain.overlapped_chunk(y, chunk_seconds=4))
+    np.testing.assert_array_equal(out_cfg, out_1s)
+    assert not np.array_equal(out_1s, out_4s)
+
+
 def test_overlapped_chunk_single_program_any_length():
     """One compiled program serves utterances of different lengths (the
     round-1 host loop recompiled per distinct tail length)."""
