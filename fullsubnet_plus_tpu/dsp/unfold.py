@@ -19,22 +19,37 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=64)
-def _unfold_indices(num_freqs: int, num_neighbors: int) -> np.ndarray:
-    """[F, 2n+1] indices into the *unpadded* freq axis with reflect semantics."""
+def _unfold_indices(num_freqs: int, num_neighbors: int,
+                    pad_mode: str = "reflect") -> np.ndarray:
+    """[F, 2n+1] indices into the *unpadded* freq axis reproducing torch
+    F.pad's edge semantics for the given mode. "constant" maps out-of-range
+    positions to index `num_freqs` — the caller appends a zero row there
+    (a gather cannot otherwise produce zeros)."""
     idx = np.arange(-num_neighbors, num_freqs + num_neighbors)
-    # Reflect (no edge repeat), matching torch F.pad mode="reflect".
-    idx = np.abs(idx)  # left edge
-    over = idx > num_freqs - 1
-    idx[over] = 2 * (num_freqs - 1) - idx[over]  # right edge
+    if pad_mode == "reflect":  # no edge repeat
+        idx = np.abs(idx)
+        over = idx > num_freqs - 1
+        idx[over] = 2 * (num_freqs - 1) - idx[over]
+    elif pad_mode == "replicate":
+        idx = np.clip(idx, 0, num_freqs - 1)
+    elif pad_mode == "circular":
+        idx = idx % num_freqs
+    elif pad_mode == "constant":
+        idx = np.where((idx < 0) | (idx > num_freqs - 1), num_freqs, idx)
+    else:
+        raise ValueError(f"unknown pad_mode {pad_mode!r}")
     window = num_neighbors * 2 + 1
     return np.stack([idx[f : f + window] for f in range(num_freqs)], axis=0)
 
 
-def freq_unfold(x: jnp.ndarray, num_neighbors: int) -> jnp.ndarray:
+def freq_unfold(x: jnp.ndarray, num_neighbors: int,
+                pad_mode: str = "reflect") -> jnp.ndarray:
     """[B, C, F, T] -> [B, F, C, 2n+1, T] overlapping frequency sub-bands.
 
     With num_neighbors < 1 this is just a transpose/reshape, exactly like the
-    reference fast path (base_model.py:30-32).
+    reference fast path (base_model.py:30-32). `pad_mode` reproduces the
+    configurable edge handling of BaseInferencer._unfold
+    (base_inferencer.py:72-95, used by the sub_band_crm_mask mode).
     """
     assert x.ndim == 4, f"freq_unfold expects [B, C, F, T], got {x.shape}"
     batch, channels, num_freqs, frames = x.shape
@@ -42,7 +57,9 @@ def freq_unfold(x: jnp.ndarray, num_neighbors: int) -> jnp.ndarray:
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(
             batch, num_freqs, channels, 1, frames
         )
-    idx = jnp.asarray(_unfold_indices(num_freqs, num_neighbors))  # [F, W]
+    idx = jnp.asarray(_unfold_indices(num_freqs, num_neighbors, pad_mode))
+    if pad_mode == "constant":  # zero row at index F for out-of-range taps
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
     gathered = x[:, :, idx, :]  # [B, C, F, W, T]
     return jnp.transpose(gathered, (0, 2, 1, 3, 4))  # [B, F, C, W, T]
 

@@ -314,13 +314,17 @@ class Enhancer:
     def sub_band_crm_mask(self, noisy):
         """Per-frequency batched sub-band model (inferencer.py:84-114):
         unfold the magnitude into [F, 31, T] and run the model on that
-        folded batch directly."""
+        folded batch directly. [inferencer.args] pad_mode selects the
+        unfold's edge handling (inferencer.py:86)."""
+        pad_mode = self.inference_args.get("pad_mode", "reflect")
 
         def fn(noisy):
             length = noisy.shape[-1]
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
             batch, num_freqs, frames = mag.shape
-            unfolded = freq_unfold(mag[:, None], self.n_neighbor)  # [B, F, 1, W, T]
+            unfolded = freq_unfold(
+                mag[:, None], self.n_neighbor, pad_mode
+            )  # [B, F, 1, W, T]
             unfolded = unfolded.reshape(
                 batch * num_freqs, self.n_neighbor * 2 + 1, frames
             )

@@ -180,6 +180,23 @@ def test_freq_unfold_matches_torch(rng):
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_freq_unfold_pad_modes_match_torch(rng):
+    """Configurable edge handling of BaseInferencer._unfold
+    (base_inferencer.py:88 pads with the config's pad_mode): every torch
+    F.pad mode the reference can name must match."""
+    x = rng.standard_normal((2, 1, 33, 8)).astype(np.float32)
+    for mode in ("reflect", "replicate", "circular", "constant"):
+        for n in (1, 4):
+            out = x.reshape(2, 1, 33, 8)
+            t = torch.from_numpy(x).reshape(2 * 1, 1, 33, 8)
+            t = F.pad(t, [0, 0, n, n], mode=mode)
+            t = F.unfold(t, (n * 2 + 1, 8))
+            t = t.reshape(2, 1, n * 2 + 1, 8, 33).permute(0, 4, 1, 2, 3)
+            ours = np.asarray(freq_unfold(x, n, mode))
+            np.testing.assert_allclose(ours, t.numpy(), atol=1e-6,
+                                       err_msg=f"{mode} n={n}")
+
+
 def _torch_drop_band(x, num_groups):
     b = x.shape[0]
     f_ = x.shape[2]
