@@ -53,6 +53,15 @@ def wb_pesq_est(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> flo
     return wb_pesq_estimator(clean, enhanced, sr=sr)
 
 
+def nb_pesq_est(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> float:
+    """From-scratch NB-PESQ-style MOS-LQO estimator (eval/pesq_estimator.py):
+    P.862/P.862.1 pipeline structure at 8 kHz, NOT ITU-conformant — always
+    available, the in-image sibling of the reference's NB_PESQ."""
+    from fullsubnet_plus_tpu.eval.pesq_estimator import nb_pesq_estimator
+
+    return nb_pesq_estimator(clean, enhanced, sr=sr)
+
+
 def nb_pesq(clean: np.ndarray, enhanced: np.ndarray, sr: int = 16000) -> float:
     """Narrow-band PESQ at 8 kHz (metrics.py:103-111)."""
     try:
@@ -106,6 +115,7 @@ REGISTERED_METRICS = {
     "WB_PESQ": wb_pesq,
     "WB_PESQ_EST": wb_pesq_est,
     "NB_PESQ": nb_pesq,
+    "NB_PESQ_EST": nb_pesq_est,
     "SDR": sdr,
     "MOSNET": mosnet,
 }
@@ -113,7 +123,7 @@ REGISTERED_METRICS = {
 
 def metric_available(name: str) -> bool:
     """True if the metric's backing implementation can run here."""
-    if name in ("SI_SDR", "STOI", "WB_PESQ_EST"):
+    if name in ("SI_SDR", "STOI", "WB_PESQ_EST", "NB_PESQ_EST"):
         return True
     if name in ("WB_PESQ", "NB_PESQ"):
         try:

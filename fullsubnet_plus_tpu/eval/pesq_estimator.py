@@ -1,68 +1,79 @@
-"""WB-PESQ-style perceptual quality estimator (pure numpy, 16 kHz).
+"""PESQ-style perceptual quality estimators (pure numpy): wide-band
+(16 kHz, P.862.2 structure) and narrow-band (8 kHz, P.862/P.862.1
+structure).
 
-Role: the reference consumes ITU-T P.862 ONLY through the `pesq` wheel
-(audio_zen/metrics.py:92-100), which is not installable in this
-environment — so its headline WB-PESQ metric is uncomputable here. This
-module fills that hole with a from-scratch estimator that follows the
-P.862/P.862.2 pipeline *structure*:
+Role: the reference consumes ITU-T P.862 ONLY through the `pesq`/`pypesq`
+wheels (audio_zen/metrics.py:92-111), which are not installable in this
+environment — so its headline WB-PESQ and NB-PESQ metrics are uncomputable
+here. This module fills that hole with from-scratch estimators that follow
+the P.862 pipeline *structure*:
 
-  level alignment → 100 Hz input high-pass (wideband mode) → envelope
+  level alignment → input filter (100 Hz high-pass in wideband mode; an
+  IRS-receive-like 300–3400 Hz band-pass in narrow-band mode) → envelope
   time alignment → 32 ms Hann frames → Bark-band pitch power densities →
   partial frequency compensation (of the reference) → short-term gain
   compensation (of the degraded) → Zwicker loudness → masked symmetric +
   asymmetric disturbances → L6/L2 two-stage time aggregation → sigmoid
-  MOS-LQO mapping.
+  MOS-LQO mapping (P.862.2 coefficients for WB, P.862.1 for NB).
 
-It is explicitly **NOT ITU-conformant** (registered as `WB_PESQ_EST`,
-never silently substituted for `WB_PESQ`): the ITU band tables, filters
-and calibration data are licensed and unavailable offline, so
+They are explicitly **NOT ITU-conformant** (registered as `WB_PESQ_EST` /
+`NB_PESQ_EST`, never silently substituted for `WB_PESQ`/`NB_PESQ`): the ITU
+band tables, filters and calibration data are licensed and unavailable
+offline, so
 
-  * the 49 Bark bands use the Traunmüller bark scale,
+  * the Bark bands (49 wideband, 42 narrow-band) use the Traunmüller bark
+    scale,
   * the absolute hearing threshold uses Terhardt's approximation with the
     P.862 assumption that active speech sits at 79 dB SPL,
   * time alignment is a single global envelope cross-correlation (no
     utterance splitting / bad-interval realignment),
-  * the two disturbance weights are self-calibrated (see
+  * the two disturbance weights are self-calibrated per mode (see
     `_CALIBRATION_NOTE`) so that additive white noise on speech-shaped
-    material reproduces the well-known WB-PESQ-vs-SNR curve shape
-    (≈1.3 at 0 dB SNR rising to ≈4.2 at 40 dB) and identical signals
-    score ≈4.64.
+    material reproduces the well-known PESQ-vs-SNR curve shapes
+    (WB: ≈1.3 at 0 dB SNR rising to ≈4.2 at 40 dB, identical ≈4.64;
+    NB: ≈1.4 rising to ≈4.3, identical ≈4.55).
 
-Within those limits it is monotone in distortion, level-invariant,
-delay-robust, and bounded to [~1.0, 4.64] — the properties the framework
-needs it for: ranking checkpoints in the validation gate
-(base_trainer.py:296-302) and relative A/B evaluation when the wheel is
-absent.
+Within those limits both are monotone in distortion, level-invariant,
+delay-robust, and bounded — the properties the framework needs them for:
+ranking checkpoints in the validation gate (base_trainer.py:296-302) and
+relative A/B evaluation when the wheels are absent.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
-FS = 16000
-FRAME = 512  # 32 ms
-SHIFT = 256
-N_BANDS = 49
 ACTIVE_SPEECH_SPL = 79.0  # dB SPL assumed for level-aligned speech (P.862)
 
 _CALIBRATION_NOTE = """
 The aggregation constants below were fit once on synthetic anchors: a
 speech-shaped, 4 Hz-amplitude-modulated pink-noise "utterance" with
-silences, degraded by additive white noise at SNR ∈ {0, 10, 20, 30, 40} dB,
-targeting MOS-LQO ≈ {1.3, 2.0, 2.8, 3.6, 4.2} (the widely reported WB-PESQ
-vs SNR shape for noisy speech). The power-law p=0.7 on both disturbances
-fits that curve to 0.07 MOS RMSE ({1.34, 1.93, 2.81, 3.47, 4.16}); the
-identical-signal score is pinned at 4.64 by construction (zero disturbance
-→ raw 4.5 → sigmoid 4.64).
+silences, degraded by additive white noise at SNR ∈ {0, 10, 20, 30, 40} dB.
+
+Wideband targets MOS-LQO ≈ {1.3, 2.0, 2.8, 3.6, 4.2} (the widely reported
+WB-PESQ vs SNR shape for noisy speech). The power-law p=0.7 on both
+disturbances fits that curve to 0.07 MOS RMSE ({1.34, 1.93, 2.81, 3.47,
+4.16}); the identical-signal score is pinned at 4.64 by construction (zero
+disturbance → raw 4.5 → P.862.2 sigmoid 4.64).
+
+Narrow-band targets MOS-LQO ≈ {1.35, 1.8, 2.65, 3.65, 4.3} — the raw-PESQ
+vs SNR shape ({≈1.5, 2.2, 2.9, 3.6, 4.2}) pushed through the P.862.1
+raw→LQO sigmoid. Fit by scripts/calibrate_pesq_estimator.py with the
+symmetric/asymmetric ratio CONSTRAINED to WB's (an unconstrained 2-param
+fit collapses to d_weight≈0, i.e. an estimator blind to omission-type
+distortions — exactly what over-suppressing enhancement produces); the
+constrained fit reaches {1.14, 1.69, 2.85, 3.62, 4.25}, 0.14 MOS RMSE.
+Identical-signal score is 4.55 by construction (raw 4.5 → P.862.1
+sigmoid 4.55).
 """
 
 D_POWER = 0.7
-D_WEIGHT = 0.5155  # symmetric-disturbance weight (see _CALIBRATION_NOTE)
-A_WEIGHT = 0.2011  # asymmetric-disturbance weight
 
 
 # ---------------------------------------------------------------------------
-# Bark scale / tables (Traunmüller; Terhardt absolute threshold)
+# Mode tables (WB 16 kHz / NB 8 kHz)
 # ---------------------------------------------------------------------------
 
 def _bark(f):
@@ -73,7 +84,17 @@ def _bark_inv(z):
     return 1960.0 * (z + 0.53) / (26.28 - z)
 
 
-def _make_bands(n_fft=FRAME, fs=FS, n_bands=N_BANDS):
+def _terhardt_threshold_spl(f_hz):
+    """Absolute hearing threshold in dB SPL (Terhardt 1979 approximation)."""
+    f = np.maximum(f_hz, 20.0) / 1000.0
+    return (
+        3.64 * f ** -0.8
+        - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+        + 1e-3 * f ** 4
+    )
+
+
+def _make_bands(n_fft, fs, n_bands):
     """Returns (bin->band index map [n_bins], band centers Hz, band widths
     in bark). Bands are equal-width in bark from 50 Hz to Nyquist."""
     z_lo, z_hi = _bark(50.0), _bark(fs / 2)
@@ -87,49 +108,71 @@ def _make_bands(n_fft=FRAME, fs=FS, n_bands=N_BANDS):
     return band_of_bin, centers, widths_bark
 
 
-_BAND_OF_BIN, _CENTERS_HZ, _WIDTH_BARK = _make_bands()
+@dataclass(frozen=True)
+class _Mode:
+    fs: int
+    frame: int          # 32 ms
+    shift: int          # 16 ms
+    n_bands: int
+    d_weight: float     # symmetric-disturbance weight (see _CALIBRATION_NOTE)
+    a_weight: float     # asymmetric-disturbance weight
+    sigmoid: tuple      # (slope, offset) of the raw→MOS-LQO mapping
+    filter_band: tuple  # (low_hz | None, high_hz | None) input filter
+
+    def __post_init__(self):
+        band_of_bin, centers, widths = _make_bands(self.frame, self.fs, self.n_bands)
+        object.__setattr__(self, "band_of_bin", band_of_bin)
+        object.__setattr__(self, "width_bark", widths)
+        object.__setattr__(
+            self, "abs_thresh",
+            10.0 ** (_terhardt_threshold_spl(centers) / 10.0),  # intensity
+        )
 
 
-def _terhardt_threshold_spl(f_hz):
-    """Absolute hearing threshold in dB SPL (Terhardt 1979 approximation)."""
-    f = np.maximum(f_hz, 20.0) / 1000.0
-    return (
-        3.64 * f ** -0.8
-        - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
-        + 1e-3 * f ** 4
-    )
-
-
-_ABS_THRESH = 10.0 ** (_terhardt_threshold_spl(_CENTERS_HZ) / 10.0)  # intensity
+WB = _Mode(
+    fs=16000, frame=512, shift=256, n_bands=49,
+    d_weight=0.5155, a_weight=0.2011,
+    sigmoid=(1.3669, 3.8224),       # P.862.2 WB raw→LQO mapping
+    filter_band=(100.0, None),      # P.862.2 wideband input high-pass role
+)
+NB = _Mode(
+    fs=8000, frame=256, shift=128, n_bands=42,
+    d_weight=0.5563, a_weight=0.2170,  # scripts/calibrate_pesq_estimator.py
+    sigmoid=(1.4945, 4.6607),       # P.862.1 raw→LQO mapping
+    filter_band=(300.0, 3400.0),    # IRS-receive-like telephone band role
+)
 
 
 # ---------------------------------------------------------------------------
 # Front end
 # ---------------------------------------------------------------------------
 
-def _highpass_100hz(x):
-    """2nd-order Butterworth high-pass at 100 Hz (P.862.2 wideband input
-    filter role; our own design — the ITU IIR coefficients are not
-    reproduced here)."""
+def _input_filter(x, mode: _Mode):
+    """Butterworth realization of the mode's input filter role (our own
+    design — the ITU IIR coefficients are not reproduced here)."""
     from scipy.signal import butter, sosfilt
 
-    sos = butter(2, 100.0, btype="highpass", fs=FS, output="sos")
+    lo, hi = mode.filter_band
+    if hi is None:
+        sos = butter(2, lo, btype="highpass", fs=mode.fs, output="sos")
+    else:
+        sos = butter(2, [lo, hi], btype="bandpass", fs=mode.fs, output="sos")
     return sosfilt(sos, x)
 
 
-def _speech_band_power(x):
+def _speech_band_power(x, fs):
     """Mean power in the 350-3250 Hz speech band (level-alignment band)."""
     spec = np.fft.rfft(x)
-    freqs = np.fft.rfftfreq(len(x), 1.0 / FS)
+    freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
     mask = (freqs >= 350.0) & (freqs <= 3250.0)
     # Parseval: mean power of the band-limited signal
     return (np.abs(spec[mask]) ** 2).sum() * 2.0 / (len(x) ** 2) + 1e-20
 
 
-def _level_align(x, target=1e7 / 32768.0**2):
+def _level_align(x, fs, target=1e7 / 32768.0**2):
     """Scale so the 350-3250 Hz band has fixed power (P.862 fix_power_level;
     the target keeps the traditional 10^7 figure in int16-sample units)."""
-    return x * np.sqrt(target / _speech_band_power(x))
+    return x * np.sqrt(target / _speech_band_power(x, fs))
 
 
 def _envelope_delay(ref, deg, hop=64):
@@ -146,22 +189,22 @@ def _envelope_delay(ref, deg, hop=64):
     return lag * hop  # samples by which deg lags ref
 
 
-def _frames(x):
-    n = max((len(x) - FRAME) // SHIFT + 1, 1)
-    idx = np.arange(FRAME)[None, :] + SHIFT * np.arange(n)[:, None]
+def _frames(x, mode: _Mode):
+    n = max((len(x) - mode.frame) // mode.shift + 1, 1)
+    idx = np.arange(mode.frame)[None, :] + mode.shift * np.arange(n)[:, None]
     pad = np.zeros(max(0, idx.max() + 1 - len(x)), x.dtype)
     xp = np.concatenate([x, pad])
-    return xp[idx] * np.hanning(FRAME)[None, :]
+    return xp[idx] * np.hanning(mode.frame)[None, :]
 
 
-def _pitch_power_density(x):
-    """[n_frames, N_BANDS] band intensities, scaled so active speech sits at
+def _pitch_power_density(x, mode: _Mode):
+    """[n_frames, n_bands] band intensities, scaled so active speech sits at
     ACTIVE_SPEECH_SPL dB SPL total."""
-    frames = _frames(x)
-    psd = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / (FRAME * 0.375) ** 2
-    bands = np.zeros((len(frames), N_BANDS))
-    valid = _BAND_OF_BIN >= 0
-    np.add.at(bands.T, _BAND_OF_BIN[valid], psd[:, valid].T)
+    frames = _frames(x, mode)
+    psd = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / (mode.frame * 0.375) ** 2
+    bands = np.zeros((len(frames), mode.n_bands))
+    valid = mode.band_of_bin >= 0
+    np.add.at(bands.T, mode.band_of_bin[valid], psd[:, valid].T)
     total = bands.sum(axis=1)
     active = total > total.max() * 1e-4
     mean_active = total[active].mean() if active.any() else total.mean() + 1e-20
@@ -169,9 +212,9 @@ def _pitch_power_density(x):
     return bands * k
 
 
-def _zwicker_loudness(p):
+def _zwicker_loudness(p, mode: _Mode):
     """Bark-band intensity -> specific loudness (Zwicker power law 0.23)."""
-    thr = _ABS_THRESH[None, :]
+    thr = mode.abs_thresh[None, :]
     s = (thr / 0.5) ** 0.23 * ((0.5 + 0.5 * p / thr) ** 0.23 - 1.0)
     return np.where(p > thr, s, 0.0)
 
@@ -181,19 +224,19 @@ def _zwicker_loudness(p):
 # ---------------------------------------------------------------------------
 
 def _disturbances(clean: np.ndarray, degraded: np.ndarray,
-                  sr: int = 16000) -> tuple:
+                  sr: int, mode: _Mode) -> tuple:
     """(symmetric, asymmetric) aggregate disturbances — the two numbers the
     final score is an affine+sigmoid function of."""
     from fullsubnet_plus_tpu.data.wav import resample
 
     ref = np.asarray(clean, np.float64)
     deg = np.asarray(degraded, np.float64)
-    if sr != FS:
-        ref = resample(ref.astype(np.float32), sr, FS).astype(np.float64)
-        deg = resample(deg.astype(np.float32), sr, FS).astype(np.float64)
+    if sr != mode.fs:
+        ref = resample(ref.astype(np.float32), sr, mode.fs).astype(np.float64)
+        deg = resample(deg.astype(np.float32), sr, mode.fs).astype(np.float64)
 
-    ref = _level_align(_highpass_100hz(ref))
-    deg = _level_align(_highpass_100hz(deg))
+    ref = _level_align(_input_filter(ref, mode), mode.fs)
+    deg = _level_align(_input_filter(deg, mode), mode.fs)
 
     # Global time alignment
     lag = _envelope_delay(ref, deg)
@@ -203,11 +246,11 @@ def _disturbances(clean: np.ndarray, degraded: np.ndarray,
         ref = ref[-lag:]
     n = min(len(ref), len(deg))
     ref, deg = ref[:n], deg[:n]
-    if n < FRAME:
+    if n < mode.frame:
         return np.inf, np.inf  # too short to score: worst case
 
-    p_ref = _pitch_power_density(ref)
-    p_deg = _pitch_power_density(deg)
+    p_ref = _pitch_power_density(ref, mode)
+    p_deg = _pitch_power_density(deg, mode)
 
     total_ref = p_ref.sum(axis=1)
     speech_active = total_ref > 10.0 ** ((ACTIVE_SPEECH_SPL - 30.0) / 10.0)
@@ -231,8 +274,8 @@ def _disturbances(clean: np.ndarray, degraded: np.ndarray,
         gain[i] = g
     p_deg = p_deg * np.clip(gain, 3e-4, 5.0)[:, None]
 
-    l_ref = _zwicker_loudness(p_ref)
-    l_deg = _zwicker_loudness(p_deg)
+    l_ref = _zwicker_loudness(p_ref, mode)
+    l_deg = _zwicker_loudness(p_deg, mode)
 
     # Masked symmetric disturbance
     d = l_deg - l_ref
@@ -244,7 +287,7 @@ def _disturbances(clean: np.ndarray, degraded: np.ndarray,
     asym = ((p_deg + 50.0) / (p_ref + 50.0)) ** 1.2
     asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
 
-    w = _WIDTH_BARK[None, :]
+    w = mode.width_bark[None, :]
     d_frame = np.sqrt(((np.abs(d) * w) ** 2).sum(axis=1) / w.sum())
     a_frame = (np.abs(d) * asym * w).sum(axis=1) / w.sum()
 
@@ -272,13 +315,26 @@ def _disturbances(clean: np.ndarray, degraded: np.ndarray,
     return _two_stage(d_frame, 6.0), _two_stage(a_frame, 1.0)
 
 
-def wb_pesq_estimator(clean: np.ndarray, degraded: np.ndarray,
-                      sr: int = 16000) -> float:
-    """MOS-LQO in [~1.0, 4.64]. See module docstring for scope and caveats."""
-    d_total, a_total = _disturbances(clean, degraded, sr)
+def _score(clean, degraded, sr, mode: _Mode) -> float:
+    d_total, a_total = _disturbances(clean, degraded, sr, mode)
     if not np.isfinite(d_total):
         return 1.0
-    raw = 4.5 - D_WEIGHT * d_total**D_POWER - A_WEIGHT * a_total**D_POWER
+    raw = 4.5 - mode.d_weight * d_total**D_POWER - mode.a_weight * a_total**D_POWER
     raw = float(np.clip(raw, -0.5, 4.5))
-    # P.862.2-style sigmoid mapping to MOS-LQO
-    return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+    slope, offset = mode.sigmoid
+    return float(0.999 + 4.0 / (1.0 + np.exp(-slope * raw + offset)))
+
+
+def wb_pesq_estimator(clean: np.ndarray, degraded: np.ndarray,
+                      sr: int = 16000) -> float:
+    """Wideband MOS-LQO in [~1.0, 4.64]. See module docstring for scope."""
+    return _score(clean, degraded, sr, WB)
+
+
+def nb_pesq_estimator(clean: np.ndarray, degraded: np.ndarray,
+                      sr: int = 16000) -> float:
+    """Narrow-band MOS-LQO in [~1.0, 4.55]: the 8 kHz P.862/P.862.1-shaped
+    sibling of `wb_pesq_estimator` (IRS-like band-pass input, 42 bark
+    bands, P.862.1 raw→LQO mapping). Fallback for the reference's NB_PESQ
+    (audio_zen/metrics.py:103-111) when no PESQ wheel is installed."""
+    return _score(clean, degraded, sr, NB)

@@ -12,7 +12,7 @@ band-limited degradation families the round-1 suite lacked.
 import numpy as np
 import pytest
 
-from fullsubnet_plus_tpu.eval.metrics import si_sdr, stoi, wb_pesq_est
+from fullsubnet_plus_tpu.eval.metrics import nb_pesq_est, si_sdr, stoi, wb_pesq_est
 
 SR = 16000
 
@@ -70,6 +70,20 @@ GOLDEN = {
 }
 
 
+# NB_PESQ_EST — frozen 2026-08-20. Narrow-band: lowpass_4k ≈ identity by
+# design (nothing above the 4 kHz Nyquist is audible to an 8 kHz metric).
+GOLDEN_NB = {
+    "identity": 4.54863832,
+    "snr20": 4.40607743,
+    "snr10": 3.82192078,
+    "snr0": 2.41245627,
+    "reverb_t60_0.3": 1.74910555,
+    "reverb_t60_0.8": 1.45439178,
+    "lowpass_4k": 4.54070871,
+    "lowpass_2k": 3.69371658,
+}
+
+
 def _cases():
     clean = speech_shaped()
     return clean, {
@@ -94,6 +108,8 @@ def test_golden_vectors_exact():
                                    rtol=1e-5, atol=1e-6, err_msg=name)
         np.testing.assert_allclose(wb_pesq_est(clean, deg), want_pesq,
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+        np.testing.assert_allclose(nb_pesq_est(clean, deg), GOLDEN_NB[name],
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
 
 
 def test_ranking_monotone_within_each_family():
@@ -102,7 +118,7 @@ def test_ranking_monotone_within_each_family():
     on every metric."""
     clean, cases = _cases()
 
-    for metric in (si_sdr, stoi, wb_pesq_est):
+    for metric in (si_sdr, stoi, wb_pesq_est, nb_pesq_est):
         noise = [metric(clean, cases[k]) for k in
                  ("identity", "snr20", "snr10", "snr0")]
         assert noise == sorted(noise, reverse=True), (metric.__name__, noise)

@@ -89,6 +89,51 @@ def test_registry_and_gate():
     assert both == (0.9 + (2.0 + 0.5) / 5.0) / 2
 
 
+def test_nb_properties(ref):
+    """The narrow-band sibling (P.862/P.862.1 structure at 8 kHz) carries
+    the same ranking properties."""
+    from fullsubnet_plus_tpu.eval.pesq_estimator import nb_pesq_estimator
+
+    assert nb_pesq_estimator(ref, ref.copy()) > 4.45
+    scores = [nb_pesq_estimator(ref, _with_noise(ref, snr))
+              for snr in (0, 5, 10, 20, 30)]
+    assert all(b > a for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] < 2.2 and scores[-1] > 3.3, scores
+    assert 0.99 <= nb_pesq_estimator(ref, _with_noise(ref, -20.0)) <= 1.8
+    deg = _with_noise(ref, 15.0)
+    assert abs(nb_pesq_estimator(ref, deg) - nb_pesq_estimator(ref, 0.25 * deg)) < 0.05
+
+
+def test_nb_blind_above_4k(ref):
+    """Distortion confined above 4 kHz must be invisible to the 8 kHz
+    metric but visible to the wideband one."""
+    from fullsubnet_plus_tpu.eval.pesq_estimator import nb_pesq_estimator
+
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal(len(ref))
+    spec = np.fft.rfft(noise)
+    f = np.fft.rfftfreq(len(ref), 1 / 16000)
+    spec[f < 4500.0] = 0.0
+    hf = np.fft.irfft(spec, len(ref))
+    deg = ref + hf * np.sqrt((ref**2).mean() / (hf**2).mean())  # 0 dB SNR, HF-only
+    nb_clean = nb_pesq_estimator(ref, ref)
+    nb_shift = abs(nb_pesq_estimator(ref, deg) - nb_clean)
+    wb_drop = wb_pesq_estimator(ref, ref) - wb_pesq_estimator(ref, deg)
+    # The 8 kHz decimator's transition band leaks a little of the 4.5 kHz+
+    # noise, so "invisible" means a small residual, dwarfed by the WB drop.
+    assert nb_shift < 0.25, nb_shift
+    assert wb_drop > 0.5, wb_drop
+    assert nb_shift < wb_drop / 3, (nb_shift, wb_drop)
+
+
+def test_nb_registry():
+    from fullsubnet_plus_tpu.eval.metrics import compute_metric, metric_available
+
+    assert metric_available("NB_PESQ_EST")
+    r = speech_shaped(2.0)
+    assert 1.0 <= compute_metric("NB_PESQ_EST", r, _with_noise(r, 20.0)) <= 4.56
+
+
 def test_tail_distortion_detected(ref):
     """Distortion confined to the final ~150 ms must lower the score (the
     aggregation includes a tail-anchored window)."""
