@@ -39,6 +39,16 @@ from fullsubnet_plus_tpu.train.step import (
 from fullsubnet_plus_tpu.utils import logger
 
 
+def _np_magspec(y, n_fft: int = 512, hop: int = 256) -> np.ndarray:
+    """[F, T] magnitude spectrogram on the HOST for TB figures. Pure numpy
+    by design — see the call site in spec_audio_visualization."""
+    y = np.pad(np.asarray(y, np.float64).reshape(-1), n_fft // 2, mode="reflect")
+    n = max(1 + (len(y) - n_fft) // hop, 1)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = y[idx] * np.hanning(n_fft + 1)[:-1][None, :]  # periodic Hann
+    return np.abs(np.fft.rfft(frames, axis=1)).T
+
+
 class Trainer:
     def __init__(
         self,
@@ -154,12 +164,12 @@ class Trainer:
         self.writer = None
         self.visualization_n_samples = 3
         if use_tensorboard and is_primary:
-            try:
-                from tensorboardX import SummaryWriter
+            # Our own event writer (utils/tb_events.py): dependency-free —
+            # no tensorboardX/protobuf import, no background flush thread,
+            # audio without soundfile.
+            from fullsubnet_plus_tpu.utils.tb_events import EventWriter
 
-                self.writer = SummaryWriter(os.path.join(save_dir, "logs"))
-            except ImportError:
-                pass
+            self.writer = EventWriter(os.path.join(save_dir, "logs"))
 
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch,
                                  mark=""):
@@ -167,7 +177,7 @@ class Trainer:
         (base_trainer.py:236-261)."""
         if self.writer is None:
             return
-        try:  # tensorboardX's add_audio needs soundfile, absent in some envs
+        try:  # visualization must never break training (also below)
             self.writer.add_audio(f"{mark}_Speech/{name}_Noisy", noisy, epoch,
                                   sample_rate=self.sr)
             self.writer.add_audio(f"{mark}_Speech/{name}_Enhanced", enhanced,
@@ -182,13 +192,17 @@ class Trainer:
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            from fullsubnet_plus_tpu.dsp.stft import stft
-
             fig, axes = plt.subplots(3, 1, figsize=(6, 6))
             for ax, (label, y) in zip(
                 axes, (("Noisy", noisy), ("Enhanced", enhanced), ("Clean", clean))
             ):
-                mag = np.abs(np.asarray(stft(y[None].astype(np.float32))))[0]
+                # Numpy, NOT dsp.stft: dispatching a device program from
+                # inside the validation loop compiles a fresh XLA program
+                # per utterance length, and on the axon backend that
+                # mid-epoch dispatch wedges the client — every subsequent
+                # transfer fails UNIMPLEMENTED (measured; the try/except
+                # can't contain a poisoned backend). A picture needs no MXU.
+                mag = _np_magspec(y)
                 ax.imshow(
                     20 * np.log10(mag + 1e-8), origin="lower", aspect="auto",
                     cmap="magma",

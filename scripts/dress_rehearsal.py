@@ -223,7 +223,8 @@ def run(cmd, log_path, timeout_s):
     return dt
 
 
-def metric_means(ref_dir, est_dir, log_path, metrics="WB_PESQ_EST,STOI,SI_SDR"):
+def metric_means(ref_dir, est_dir, log_path,
+                 metrics="WB_PESQ_EST,NB_PESQ_EST,STOI,SI_SDR"):
     cmd = [sys.executable, "-m", "fullsubnet_plus_tpu.cli.calculate_metrics",
            "-R", ref_dir, "-E", est_dir, "-M", metrics, "-S", "DNS_1",
            "--workers", "2"]
@@ -251,6 +252,10 @@ def main(argv=None):
     parser.add_argument("--num-val", type=int, default=20)
     parser.add_argument("--fp32", action="store_true",
                         help="train in fp32 (default bf16, the measured config)")
+    parser.add_argument("--resume", action="store_true",
+                        help="pass -R to cli.train: continue a partial run "
+                             "(e.g. after a transient backend failure the "
+                             "trainer checkpoint-and-exited from)")
     parser.add_argument("--train-timeout", type=float, default=7200.0)
     args = parser.parse_args(argv)
 
@@ -271,6 +276,8 @@ def main(argv=None):
                  "-C", cfg, "--epochs", str(args.epochs)]
     if not args.fp32:
         train_cmd.append("--bf16")
+    if args.resume:
+        train_cmd.append("-R")
     summary["wall"]["train_s"] = round(
         run(train_cmd, log_path, args.train_timeout), 1)
 
