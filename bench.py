@@ -46,13 +46,16 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode",
-                        choices=["enhance", "train", "data", "streaming"],
+                        choices=["enhance", "train", "data", "streaming",
+                                 "serve"],
                         default="enhance",
                         help="train: full train-step throughput at the "
                              "reference batch (18 x 3.072 s); data: host-side "
                              "dynamic-mixing pipeline throughput (no TPU); "
                              "streaming: overlapped_chunk Hann-OLA latency "
-                             "path (one utterance at a time)")
+                             "path (one utterance at a time); serve: "
+                             "multi-stream real-time capacity (one chunk per "
+                             "live stream per tick, --batch = streams/tick)")
     parser.add_argument("--mesh", default=None, metavar="DxF",
                         help="run under a ('data', 'freq') device mesh, e.g. "
                              "2x1 or 4x2 — the one-command multi-chip "
@@ -93,6 +96,8 @@ def main():
         return bench_train(args)
     if args.mode == "streaming":
         return bench_streaming(args)
+    if args.mode == "serve":
+        return bench_serve(args)
     args.dtype = "int8" if args.dtype is None else args.dtype
     args.batch = 64 if args.batch is None else args.batch
     args.iters = 4 if args.iters is None else args.iters
@@ -262,6 +267,92 @@ def bench_streaming(args):
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+def bench_serve(args):
+    """Multi-stream live-serving capacity on the real chip.
+
+    Model of a streaming server: S live streams each produce a 4 s chunk
+    every hop=2 s (50 % Hann OLA, enhance.py overlapped_chunk math). A
+    serving tick batches one chunk from EVERY stream through the single
+    fixed-shape length-masked program ([S, 256 + 4 s]) and pays the real
+    costs a server pays per tick: audio H2D in, enhanced audio D2H out,
+    host cross-fade. A group of S streams is real-time iff the steady-state
+    tick wall <= hop; the chip executes independent groups serially, so
+    capacity extrapolates linearly: streams = S * hop / tick_wall.
+
+    Reported metric: concurrent real-time streams per chip (floor), with
+    the per-chunk added latency (= tick wall) in the JSON for the latency
+    story. --batch sets S (default 64, the serving batch)."""
+    import jax
+
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+    from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+    from fullsubnet_plus_tpu.enhance import Enhancer
+
+    args.dtype = "int8" if args.dtype is None else args.dtype
+    streams = 64 if args.batch is None else args.batch
+    ticks = 12 if args.iters is None else args.iters
+    sr, chunk_s = 16000, 4
+    chunk, hop = sr * chunk_s, sr * chunk_s // 2
+    in_len = 256 + chunk
+
+    config = FullSubNetPlusConfig()
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), config)
+    enhancer = Enhancer(
+        FULLSUBNET_PLUS, config, params,
+        compute_dtype=args.dtype if args.dtype != "float32" else None,
+    )
+    base = enhancer.mag_complex_full_band_crm_mask
+
+    rng = np.random.default_rng(0)
+    batch = (rng.standard_normal((streams, in_len)) * 0.1).astype(np.float32)
+    lens = np.full((streams,), in_len, np.int64)
+    window = np.hanning(chunk + 1)[:chunk].astype(np.float32)
+    prev_half = np.zeros((streams, hop), np.float32)
+
+    def finish(out):
+        nonlocal prev_half
+        faded = np.asarray(out)[:, 256:] * window[None, :]  # D2H + host OLA
+        emit = faded[:, :hop] + prev_half
+        prev_half = faded[:, hop:]
+        assert np.isfinite(emit).all()
+
+    def run(n, start, window_depth=3):
+        # A real server pipelines: dispatch tick i+1..i+W while tick i's
+        # enhanced audio is still in flight — the async dispatch queue
+        # overlaps H2D/compute/D2H instead of paying them serially.
+        pending = []
+        for i in range(n):
+            fresh = batch + np.float32(start + i) * 1e-9  # new audio (H2D)
+            pending.append(base(fresh, lengths=lens))
+            if len(pending) > window_depth:
+                finish(pending.pop(0))
+        while pending:
+            finish(pending.pop(0))
+
+    run(args.warmup, 0)
+    t0 = time.perf_counter()
+    run(ticks, args.warmup)
+    tick_wall = (time.perf_counter() - t0) / ticks
+
+    hop_s = hop / sr
+    capacity = int(streams * hop_s / tick_wall) * len(jax.devices())
+    print(
+        json.dumps(
+            {
+                "metric": "serve_concurrent_realtime_streams_per_chip",
+                "value": capacity,
+                "unit": "streams (4 s chunks, 50% OLA)",
+                "tick_wall_s": round(tick_wall, 4),
+                "streams_per_tick": streams,
+                "added_latency_s": round(tick_wall, 4),
+                # same denominator as the other modes, in stream units:
+                # 8 x 2.83 audio-s/s = 22.6 concurrent real-time streams
+                "vs_baseline": round(capacity / 22.6, 2),
             }
         )
     )
