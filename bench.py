@@ -293,6 +293,11 @@ def bench_serve(args):
     from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
     from fullsubnet_plus_tpu.enhance import Enhancer
 
+    if args.mesh:
+        raise SystemExit(
+            "serve mode measures a single chip's stream capacity; --mesh is "
+            "not wired here (run one server per chip — capacity is per-chip)"
+        )
     args.dtype = "int8" if args.dtype is None else args.dtype
     streams = 64 if args.batch is None else args.batch
     ticks = 12 if args.iters is None else args.iters
@@ -340,7 +345,9 @@ def bench_serve(args):
     tick_wall = (time.perf_counter() - t0) / ticks
 
     hop_s = hop / sr
-    capacity = int(streams * hop_s / tick_wall) * len(jax.devices())
+    # Per-chip number: the measured work ran on one device, so no scaling by
+    # device count (a fleet runs one serving loop per chip).
+    capacity = int(streams * hop_s / tick_wall)
     print(
         json.dumps(
             {

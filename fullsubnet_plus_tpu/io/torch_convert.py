@@ -38,19 +38,33 @@ def convert_conv1d(sd, prefix: str):
     }
 
 
-def convert_lstm(sd, prefix: str, num_layers: int):
-    """nn.LSTM -> our {"layers": [{w_ih, w_hh, b_ih, b_hh}, ...]}."""
+def convert_lstm(sd, prefix: str, num_layers: int, suffix: str = ""):
+    """nn.LSTM -> our {"layers": [{w_ih, w_hh, b_ih, b_hh}, ...]}.
+
+    `suffix="_reverse"` picks up the backward direction of a
+    bidirectional=True module (cuDNN key naming: `weight_ih_l{k}_reverse`).
+    """
     layers = []
     for layer in range(num_layers):
         layers.append(
             {
-                "w_ih": _np(sd[f"{prefix}.weight_ih_l{layer}"]).T.copy(),
-                "w_hh": _np(sd[f"{prefix}.weight_hh_l{layer}"]).T.copy(),
-                "b_ih": _np(sd[f"{prefix}.bias_ih_l{layer}"]).copy(),
-                "b_hh": _np(sd[f"{prefix}.bias_hh_l{layer}"]).copy(),
+                "w_ih": _np(sd[f"{prefix}.weight_ih_l{layer}{suffix}"]).T.copy(),
+                "w_hh": _np(sd[f"{prefix}.weight_hh_l{layer}{suffix}"]).T.copy(),
+                "b_ih": _np(sd[f"{prefix}.bias_ih_l{layer}{suffix}"]).copy(),
+                "b_hh": _np(sd[f"{prefix}.bias_hh_l{layer}{suffix}"]).copy(),
             }
         )
     return {"layers": layers}
+
+
+def convert_bilstm(sd, prefix: str, num_layers: int):
+    """bidirectional nn.LSTM -> our {"fwd": ..., "bwd": ...} pair
+    (nn/lstm.py bilstm_apply layout; matches sequence_model.py:20-45's
+    bidirectional=True surface)."""
+    return {
+        "fwd": convert_lstm(sd, prefix, num_layers),
+        "bwd": convert_lstm(sd, prefix, num_layers, suffix="_reverse"),
+    }
 
 
 def convert_gru(sd, prefix: str, num_layers: int):
@@ -86,7 +100,10 @@ def convert_sequence_model(sd, prefix: str, sequence_model: str, num_layers: int
         return {"seq": {"blocks": blocks}, "fc_output_layer": fc}
     if sequence_model in ("LSTM", "GRU"):
         if bidirectional:
-            raise NotImplementedError("bidirectional conversion unused by shipped configs")
+            if sequence_model != "LSTM":
+                raise NotImplementedError("bidirectional GRU unused by configs")
+            return {"seq": convert_bilstm(sd, f"{prefix}.sequence_model", num_layers),
+                    "fc_output_layer": fc}
         conv = convert_lstm if sequence_model == "LSTM" else convert_gru
         return {"seq": conv(sd, f"{prefix}.sequence_model", num_layers), "fc_output_layer": fc}
     raise NotImplementedError(sequence_model)
@@ -177,12 +194,16 @@ def export_conv1d(out, params, prefix: str):
         out[f"{prefix}.bias"] = _f32(params["bias"])
 
 
-def export_lstm(out, params, prefix: str):
+def export_lstm(out, params, prefix: str, suffix: str = ""):
+    if "fwd" in params:  # bidirectional pair -> cuDNN `_reverse` key naming
+        export_lstm(out, params["fwd"], prefix)
+        export_lstm(out, params["bwd"], prefix, suffix="_reverse")
+        return
     for layer, p in enumerate(params["layers"]):
-        out[f"{prefix}.weight_ih_l{layer}"] = _f32(p["w_ih"]).T.copy()
-        out[f"{prefix}.weight_hh_l{layer}"] = _f32(p["w_hh"]).T.copy()
-        out[f"{prefix}.bias_ih_l{layer}"] = _f32(p["b_ih"])
-        out[f"{prefix}.bias_hh_l{layer}"] = _f32(p["b_hh"])
+        out[f"{prefix}.weight_ih_l{layer}{suffix}"] = _f32(p["w_ih"]).T.copy()
+        out[f"{prefix}.weight_hh_l{layer}{suffix}"] = _f32(p["w_hh"]).T.copy()
+        out[f"{prefix}.bias_ih_l{layer}{suffix}"] = _f32(p["b_ih"])
+        out[f"{prefix}.bias_hh_l{layer}{suffix}"] = _f32(p["b_hh"])
 
 
 def export_group_norm(out, params, prefix: str):

@@ -235,8 +235,13 @@ def metric_means(ref_dir, est_dir, log_path,
     if out.returncode != 0:
         raise RuntimeError(f"calculate_metrics failed: {out.stderr[-2000:]}")
     means = {}
+    # Anchor to the requested metric names: the CLI also prints timing/count
+    # "word: float" lines that must not leak into summary.json.
+    pattern = re.compile(
+        rf"({'|'.join(re.escape(m) for m in metrics.split(','))}): (-?\d+\.\d+)"
+    )
     for line in out.stdout.splitlines():
-        m = re.match(r"(\w+): (-?\d+\.\d+)", line)
+        m = pattern.match(line)
         if m:
             means[m.group(1)] = float(m.group(2))
     return means

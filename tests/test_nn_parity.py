@@ -221,6 +221,38 @@ def test_bilstm_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5, rtol=1e-4)
 
 
+def test_sequence_model_bidirectional_converter_matches_torch(rng):
+    """convert_sequence_model(bidirectional=True) end-to-end vs torch's
+    SequenceModel surface (sequence_model.py:20-45: bidirectional LSTM ->
+    Linear(2H, O)), plus the export round-trip back to cuDNN `_reverse`
+    keys (VERDICT r2 missing #6)."""
+    lstm = nn.LSTM(input_size=20, hidden_size=24, num_layers=2,
+                   batch_first=True, bidirectional=True)
+    fc = nn.Linear(48, 2)
+    x = rng.standard_normal((3, 20, 12)).astype(np.float32)
+    with torch.no_grad():
+        o, _ = lstm(torch.from_numpy(x).permute(0, 2, 1))
+        ref = fc(o).permute(0, 2, 1).numpy()
+    sd = {f"m.sequence_model.{k}": v for k, v in lstm.state_dict().items()}
+    sd.update({f"m.fc_output_layer.{k}": v for k, v in fc.state_dict().items()})
+    params = tc.convert_sequence_model(sd, "m", "LSTM", num_layers=2,
+                                       bidirectional=True)
+    ours = np.asarray(
+        jseq.sequence_model_apply(
+            params, x, sequence_model="LSTM", bidirectional=True,
+            output_activate_function=False,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+    # Export round-trip: our tree -> torch state_dict keys -> same values.
+    out = {}
+    tc.export_sequence_model(out, params, "m", "LSTM")
+    for k, v in sd.items():
+        np.testing.assert_allclose(out[k], v.numpy(), atol=0, rtol=0,
+                                   err_msg=k)
+
+
 def test_sequence_model_bidirectional_init_applies(rng):
     """init/apply shape agreement for the bidirectional config surface."""
     import jax
