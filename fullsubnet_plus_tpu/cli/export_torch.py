@@ -6,9 +6,12 @@
 The output loads into the reference implementation (RookieJunChen/
 FullSubNet-plus) with `load_state_dict(strict=True)` — its inferencer
 (`speech_enhance/tools/inference.py`) can serve a model trained here with
-no changes. `.tar` writes the reference trainer's artifact dict
-({"epoch", "model"} — base_trainer.py:161-190); `.pth` writes the bare
-state_dict. Inverse of the `.tar`→`.npz` ingestion the enhance CLI does.
+no changes. `.tar` writes the reference trainer's full artifact dict
+({"epoch", "best_score", "optimizer", "scaler", "model"} —
+base_trainer.py:159-190), including the converted Adam moments when the
+.npz holds the full train state, so the reference trainer can RESUME a run
+trained here. `.pth` writes the bare state_dict. Inverse of the
+`.tar`→`.npz` ingestion the enhance CLI does.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ def main(argv=None) -> None:
     from fullsubnet_plus_tpu.io.checkpoint import (
         load_flat,
         nested_from_flat,
+        restore_like,
         save_torch_checkpoint,
     )
 
@@ -40,8 +44,26 @@ def main(argv=None) -> None:
     if not params:  # weights-only file saved with bare param paths
         params = nested_from_flat(flat)
     epoch = int(meta.get("epoch", 0)) if meta else 0
-    save_torch_checkpoint(args.output, params, model_name=args.model, epoch=epoch)
-    print(f"wrote {args.output} (epoch {epoch}, model {args.model})")
+    opt_state = None
+    if any(k.startswith("opt_state/") for k in flat):
+        # Full train-state .npz: rebuild the optax state into a fresh
+        # template so the exported .tar carries the Adam moments/step and
+        # the reference's _resume_checkpoint continues OUR trajectory.
+        from fullsubnet_plus_tpu.train.step import make_optimizer
+
+        template = make_optimizer().init(params)
+        opt_state = restore_like(
+            template,
+            {k.removeprefix("opt_state/"): v for k, v in flat.items()
+             if k.startswith("opt_state/")},
+        )
+    save_torch_checkpoint(
+        args.output, params, model_name=args.model, epoch=epoch,
+        opt_state=opt_state,
+        best_score=float(meta.get("best_score", 0.0)) if meta else 0.0,
+    )
+    with_opt = "with Adam state" if opt_state is not None else "weights-only"
+    print(f"wrote {args.output} (epoch {epoch}, model {args.model}, {with_opt})")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,8 @@ def build_trainer(config: dict, args) -> "Trainer":
     )
     if args.resume:
         trainer.resume()
+    if getattr(args, "from_torch", None):
+        trainer.resume_from_torch(args.from_torch)
     if args.preloaded_model_path:
         trainer.preload(args.preloaded_model_path)
     return trainer
@@ -133,6 +135,10 @@ def main(argv=None):
     parser.add_argument("-R", "--resume", action="store_true")
     parser.add_argument("-V", "--only_validation", action="store_true")
     parser.add_argument("-P", "--preloaded_model_path", default=None)
+    parser.add_argument("--from-torch", default=None, metavar="CKPT.tar",
+                        help="continue a reference PyTorch run: import "
+                             "weights AND Adam moments/step/epoch from a "
+                             "latest_model.tar / best_model.tar")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the model forward (activation "

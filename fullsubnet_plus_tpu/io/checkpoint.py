@@ -171,57 +171,180 @@ class CheckpointManager:
         return restore_like(template_params, stripped)
 
 
-def load_torch_checkpoint(path: str, model_name: str = "fullsubnet_plus"):
+def _is_plus(model_name: str) -> bool:
+    return model_name in (
+        "fullsubnet_plus",
+        "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus",
+    )
+
+
+def _map_adam_states(opt_state, fn):
+    """Rebuild an optax state tuple with every ScaleByAdamState mapped
+    through `fn` (optax chains nest states in plain/named tuples)."""
+    import optax
+
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return fn(opt_state)
+    if isinstance(opt_state, tuple):
+        mapped = [_map_adam_states(c, fn) for c in opt_state]
+        if hasattr(opt_state, "_fields"):  # NamedTuple state
+            return type(opt_state)(*mapped)
+        return tuple(mapped)
+    return opt_state
+
+
+def find_adam_state(opt_state):
+    """First ScaleByAdamState inside an optax chain state, or None."""
+    import optax
+
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for c in opt_state:
+            found = find_adam_state(c)
+            if found is not None:
+                return found
+    return None
+
+
+def load_torch_checkpoint(path: str, model_name: str = "fullsubnet_plus",
+                          optimizer=None):
     """Load a reference .tar/.pth checkpoint and convert to our params.
 
     `.tar` checkpoints hold {"model": state_dict, ...} (base_trainer.py:168);
     `.pth` files hold the raw state_dict (base_trainer.py:192).
+
+    With `optimizer` (the optax chain from make_optimizer) the FULL training
+    state is imported — reference `_resume_checkpoint` semantics
+    (base_trainer.py:128-157): returns (params, opt_state, meta) where
+    opt_state carries the torch Adam exp_avg/exp_avg_sq/step converted into
+    ScaleByAdamState (fresh init if the blob has no optimizer state) and
+    meta = {"epoch", "best_score"} when present. Continuing a reference run
+    here then continues the same Adam trajectory, not a restarted one.
     """
     import torch
 
     from fullsubnet_plus_tpu.io.torch_convert import (
+        convert_adam_state,
         convert_fullsubnet,
         convert_fullsubnet_plus,
     )
 
     blob = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
-    if model_name in (
-        "fullsubnet_plus",
-        "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus",
-    ):
-        return convert_fullsubnet_plus(state_dict)
-    return convert_fullsubnet(state_dict)
+    convert = convert_fullsubnet_plus if _is_plus(model_name) else convert_fullsubnet
+    stripped = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    params = convert(state_dict)
+    if optimizer is None:
+        return params
+
+    import jax.numpy as jnp
+
+    opt_state = optimizer.init(params)
+    opt_sd = blob.get("optimizer") if isinstance(blob, dict) else None
+    if opt_sd:
+        converted = convert_adam_state(opt_sd, list(stripped.keys()), convert)
+        if converted is not None:
+            count, mu, nu = converted
+
+            def set_state(adam):
+                return type(adam)(
+                    count=jnp.asarray(count, adam.count.dtype),
+                    mu=jax.tree.map(
+                        lambda t, v: jnp.asarray(v, t.dtype), adam.mu, mu
+                    ),
+                    nu=jax.tree.map(
+                        lambda t, v: jnp.asarray(v, t.dtype), adam.nu, nu
+                    ),
+                )
+
+            opt_state = _map_adam_states(opt_state, set_state)
+    meta = {}
+    if isinstance(blob, dict):
+        if "epoch" in blob:
+            meta["epoch"] = int(blob["epoch"])
+        if "best_score" in blob:
+            meta["best_score"] = float(blob["best_score"])
+    return params, opt_state, meta
 
 
 def save_torch_checkpoint(path: str, params, model_name: str = "fullsubnet_plus",
-                          epoch: int = 0) -> None:
+                          epoch: int = 0, opt_state=None, lr: float = 1e-3,
+                          best_score: float = 0.0) -> None:
     """Export our params as a reference-format PyTorch checkpoint.
 
-    `.tar` gets the reference's full artifact shape {"epoch", "model", ...}
-    (base_trainer.py:161-190 of the reference); `.pth` gets the bare
-    state_dict (base_trainer.py:192). The result loads into the reference's
-    `FullSubNet_Plus`/`Model` with strict=True, so models trained here can be
-    served by the reference implementation unchanged.
+    `.tar` gets the reference's full artifact shape {"epoch", "best_score",
+    "optimizer", "scaler", "model"} (base_trainer.py:159-190 of the
+    reference); `.pth` gets the bare state_dict (base_trainer.py:192). The
+    result loads into the reference's `FullSubNet_Plus`/`Model` with
+    strict=True, so models trained here can be served by the reference
+    implementation unchanged.
+
+    With `opt_state` (our optax train state's opt_state) the embedded
+    optimizer state_dict carries the real Adam moments, so the reference's
+    `_resume_checkpoint` (base_trainer.py:128-157) continues OUR Adam
+    trajectory; without it a fresh (empty-state) Adam state_dict is written.
+    `lr` fills the exported param_group (torch restores hyperparams from it).
     """
     import torch
 
     from fullsubnet_plus_tpu.io.torch_convert import (
+        export_adam_state,
         export_fullsubnet,
         export_fullsubnet_plus,
     )
 
-    if model_name in (
-        "fullsubnet_plus",
-        "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus",
-    ):
-        sd = export_fullsubnet_plus(params)
-    else:
-        sd = export_fullsubnet(params)
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    export = export_fullsubnet_plus if _is_plus(model_name) else export_fullsubnet
+    sd = export(params)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     tmp = path + ".tmp"
     if path.endswith(".pth"):
-        torch.save(sd, tmp)
+        torch.save(tsd, tmp)
+        os.replace(tmp, path)
+        return
+
+    adam = find_adam_state(opt_state) if opt_state is not None else None
+    if adam is not None:
+        opt_sd = export_adam_state(
+            int(adam.count), adam.mu, adam.nu, export, lr=lr
+        )
+        opt_sd["state"] = {
+            i: {
+                "step": torch.tensor(float(s["step"])),
+                "exp_avg": torch.from_numpy(np.ascontiguousarray(s["exp_avg"])),
+                "exp_avg_sq": torch.from_numpy(
+                    np.ascontiguousarray(s["exp_avg_sq"])
+                ),
+            }
+            for i, s in opt_sd["state"].items()
+        }
     else:
-        torch.save({"epoch": epoch, "model": sd}, tmp)
+        opt_sd = {
+            "state": {},
+            "param_groups": [
+                {
+                    "lr": lr, "betas": [0.9, 0.999], "eps": 1e-8,
+                    "weight_decay": 0.0, "amsgrad": False, "maximize": False,
+                    "foreach": None, "capturable": False,
+                    "differentiable": False, "fused": None,
+                    "params": list(range(len(tsd))),
+                }
+            ],
+        }
+    # GradScaler defaults (torch.cuda.amp.GradScaler().state_dict()): the
+    # reference resume does scaler.load_state_dict(checkpoint["scaler"]).
+    scaler_sd = {
+        "scale": 65536.0, "growth_factor": 2.0, "backoff_factor": 0.5,
+        "growth_interval": 2000, "_growth_tracker": 0,
+    }
+    torch.save(
+        {
+            "epoch": epoch,
+            "best_score": best_score,
+            "optimizer": opt_sd,
+            "scaler": scaler_sd,
+            "model": tsd,
+        },
+        tmp,
+    )
     os.replace(tmp, path)

@@ -194,16 +194,25 @@ def export_conv1d(out, params, prefix: str):
         out[f"{prefix}.bias"] = _f32(params["bias"])
 
 
-def export_lstm(out, params, prefix: str, suffix: str = ""):
+def _export_lstm_layer(out, p, prefix: str, layer: int, suffix: str):
+    out[f"{prefix}.weight_ih_l{layer}{suffix}"] = _f32(p["w_ih"]).T.copy()
+    out[f"{prefix}.weight_hh_l{layer}{suffix}"] = _f32(p["w_hh"]).T.copy()
+    out[f"{prefix}.bias_ih_l{layer}{suffix}"] = _f32(p["b_ih"])
+    out[f"{prefix}.bias_hh_l{layer}{suffix}"] = _f32(p["b_hh"])
+
+
+def export_lstm(out, params, prefix: str):
+    # Key INSERTION order mirrors torch's parameter registration order
+    # (flat-weights: per layer, forward then `_reverse`) so the exported
+    # state_dict's key sequence doubles as the `model.parameters()` index
+    # order that Adam state_dicts are keyed by (export_adam_state below).
     if "fwd" in params:  # bidirectional pair -> cuDNN `_reverse` key naming
-        export_lstm(out, params["fwd"], prefix)
-        export_lstm(out, params["bwd"], prefix, suffix="_reverse")
+        for layer in range(len(params["fwd"]["layers"])):
+            _export_lstm_layer(out, params["fwd"]["layers"][layer], prefix, layer, "")
+            _export_lstm_layer(out, params["bwd"]["layers"][layer], prefix, layer, "_reverse")
         return
     for layer, p in enumerate(params["layers"]):
-        out[f"{prefix}.weight_ih_l{layer}{suffix}"] = _f32(p["w_ih"]).T.copy()
-        out[f"{prefix}.weight_hh_l{layer}{suffix}"] = _f32(p["w_hh"]).T.copy()
-        out[f"{prefix}.bias_ih_l{layer}{suffix}"] = _f32(p["b_ih"])
-        out[f"{prefix}.bias_hh_l{layer}{suffix}"] = _f32(p["b_hh"])
+        _export_lstm_layer(out, p, prefix, layer, "")
 
 
 def export_group_norm(out, params, prefix: str):
@@ -222,15 +231,17 @@ def export_tcn_block(out, params, prefix: str):
 
 
 def export_sequence_model(out, params, prefix: str, sequence_model: str):
-    export_linear(out, params["fc_output_layer"], f"{prefix}.fc_output_layer")
+    # sequence_model before fc_output_layer: the reference registers them in
+    # that order (sequence_model.py:30-76), and Adam-state export relies on
+    # insertion order == `model.parameters()` order (export_adam_state).
     if sequence_model == "TCN":
         for i, block in enumerate(params["seq"]["blocks"]):
             export_tcn_block(out, block, f"{prefix}.sequence_model.{i}")
-        return
-    if sequence_model in ("LSTM", "GRU"):
+    elif sequence_model in ("LSTM", "GRU"):
         export_lstm(out, params["seq"], f"{prefix}.sequence_model")
-        return
-    raise NotImplementedError(sequence_model)
+    else:
+        raise NotImplementedError(sequence_model)
+    export_linear(out, params["fc_output_layer"], f"{prefix}.fc_output_layer")
 
 
 def export_tsse(out, params, prefix: str):
@@ -281,3 +292,86 @@ def export_fullsubnet(params, sequence_model: str = "LSTM"):
     export_sequence_model(out, params["fb_model"], "fb_model", sequence_model)
     export_sequence_model(out, params["sb_model"], "sb_model", sequence_model)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Adam optimizer-state interop (both directions).
+#
+# Reference checkpoints carry `optimizer.state_dict()` (base_trainer.py:
+# 159-192 of the reference): Adam moments keyed by parameter INDEX in
+# `model.parameters()` order. These models register no buffers, so that
+# order equals the model state_dict's key order — we zip the two and reuse
+# the SAME layout converters as for the weights: Adam moments are
+# elementwise state shaped exactly like their parameter, so the weight
+# transposes apply to them unchanged and the numerics are untouched.
+# ---------------------------------------------------------------------------
+
+
+def _step_int(step) -> int:
+    return int(step.item()) if hasattr(step, "item") else int(step)
+
+
+def convert_adam_state(optimizer_sd, model_keys, convert_fn):
+    """torch Adam `optimizer.state_dict()` -> (count, mu_tree, nu_tree).
+
+    `model_keys`: the model state_dict's keys in order (== parameters()
+    order). `convert_fn`: the weight converter for this model family
+    (e.g. convert_fullsubnet_plus) — applied to the exp_avg / exp_avg_sq
+    "state_dicts" to produce moment trees in our param-tree layout.
+    Returns None if the optimizer has taken no steps yet (empty state).
+    """
+    state = optimizer_sd.get("state") or {}
+    if not state:
+        return None
+    indices = [i for g in optimizer_sd["param_groups"] for i in g["params"]]
+    if len(indices) != len(model_keys):
+        raise ValueError(
+            f"optimizer has {len(indices)} params, model has {len(model_keys)}"
+        )
+    mu_sd, nu_sd, counts = {}, {}, set()
+    for key, idx in zip(model_keys, indices):
+        s = state[idx]
+        mu_sd[key] = _np(s["exp_avg"])
+        nu_sd[key] = _np(s["exp_avg_sq"])
+        counts.add(_step_int(s["step"]))
+    if len(counts) != 1:
+        raise ValueError(f"per-param Adam step counts differ: {sorted(counts)}")
+    return counts.pop(), convert_fn(mu_sd), convert_fn(nu_sd)
+
+
+def export_adam_state(count, mu_params, nu_params, export_fn, *, lr=1e-3,
+                      betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
+    """(count, mu_tree, nu_tree) -> torch Adam `optimizer.state_dict()`.
+
+    `export_fn`: the weight exporter (e.g. export_fullsubnet_plus). Its key
+    insertion order mirrors the reference's registration order (see
+    export_sequence_model), so enumerating its output keys reproduces the
+    `model.parameters()` indices torch keys the state by. Values are numpy;
+    wrap in torch tensors before `torch.save` (save_torch_checkpoint does).
+    """
+    mu_sd, nu_sd = export_fn(mu_params), export_fn(nu_params)
+    state = {}
+    for i, key in enumerate(mu_sd):
+        state[i] = {
+            "step": float(count),
+            "exp_avg": mu_sd[key],
+            "exp_avg_sq": nu_sd[key],
+        }
+    return {
+        "state": state,
+        "param_groups": [
+            {
+                "lr": lr,
+                "betas": list(betas),
+                "eps": eps,
+                "weight_decay": weight_decay,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+                "params": list(range(len(mu_sd))),
+            }
+        ],
+    }

@@ -20,6 +20,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fullsubnet_plus_tpu.eval.metrics import (
@@ -227,6 +228,38 @@ class Trainer:
         params = self.ckpt.preload_params(path, self.state.params)
         self.state = TrainState(params, self.state.opt_state, self.state.step)
         logger.log(f"Preloaded model weights from {path}")
+
+    def resume_from_torch(self, path: str):
+        """--from-torch: continue a reference (PyTorch) training run here.
+
+        Full `_resume_checkpoint` semantics (base_trainer.py:128-157): the
+        .tar's weights AND Adam moments/step are imported, so training
+        continues the same optimizer trajectory rather than restarting it.
+        """
+        from fullsubnet_plus_tpu.io.checkpoint import (
+            find_adam_state,
+            load_torch_checkpoint,
+        )
+
+        params, opt_state, meta = load_torch_checkpoint(
+            path, self.model_def.name, optimizer=self.optimizer
+        )
+        adam = find_adam_state(opt_state)
+        step = adam.count if adam is not None else self.state.step
+        state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))
+        if self.mesh is not None:
+            from fullsubnet_plus_tpu.parallel import replicated
+
+            state = jax.device_put(state, replicated(self.mesh))
+        self.state = jax.tree.map(jnp.asarray, state)
+        if "epoch" in meta:
+            self.start_epoch = meta["epoch"] + 1
+        if "best_score" in meta:
+            self.best_score = meta["best_score"]
+        logger.log(
+            f"Resumed from torch checkpoint {path} "
+            f"(epoch={meta.get('epoch')}, step={int(step)})"
+        )
 
     # -- failure detection / preemption -------------------------------------
 

@@ -388,6 +388,140 @@ def test_loss_curve_parity_vs_reference(ref_setup, rng):
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_adam_state_interop_both_directions(rng, tmp_path):
+    """Optimizer-state checkpoint interop (VERDICT r2 missing #5), both ways.
+
+    Import: N1 torch reference steps -> latest_model.tar (weights + Adam
+    state, base_trainer.py:159-192) -> load_torch_checkpoint(optimizer=...)
+    -> N2 of our steps must equal steps N1..N1+N2 of an uninterrupted torch
+    run (same rtol as the loss-curve parity test). Export: our state after
+    N1+N2 -> save_torch_checkpoint(opt_state=...) -> torch resumes
+    (load_state_dict on model AND optimizer) -> N3 torch steps must equal
+    our own N3 continued steps. Also pins that the export key order equals
+    `model.parameters()` order, which the index-keyed Adam mapping needs.
+    """
+    if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    for p in (REFERENCE, "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
+    from audio_zen.acoustics.mask import build_complex_ideal_ratio_mask as t_cirm
+    from audio_zen.acoustics.feature import drop_band as t_drop
+    from fullsubnet_plus_tpu.io.checkpoint import (
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+    from fullsubnet_plus_tpu.io.torch_convert import export_fullsubnet_plus
+
+    torch.manual_seed(3)
+    model_kw = dict(
+        num_freqs=33, look_ahead=2, sequence_model="LSTM",
+        fb_num_neighbors=0, sb_num_neighbors=4,
+        fb_output_activate_function="ReLU", sb_output_activate_function=False,
+        fb_model_hidden_size=32, sb_model_hidden_size=24,
+        channel_attention_model="TSSE", norm_type="offline_laplace_norm",
+        num_groups_in_drop_band=2, kersize=[3, 5, 10], subband_num=1,
+        weight_init=False,
+    )
+    tmodel = FullSubNet_Plus(**model_kw).train()
+
+    n1, n2, n3 = 10, 10, 6
+    B, L = 4, 2048
+    batches = []
+    for _ in range(n1 + n2 + n3):
+        n = (rng.standard_normal((B, L)) * 0.1).astype(np.float32)
+        c = (0.8 * n + 0.02 * rng.standard_normal((B, L))).astype(np.float32)
+        batches.append((n, c))
+
+    win = torch.hann_window(64)
+
+    def torch_steps(model, opt, batch_slice):
+        losses = []
+        for noisy, clean in batch_slice:
+            opt.zero_grad()
+            nc = torch.stft(torch.from_numpy(noisy), 64, 32, 64, window=win,
+                            return_complex=True)
+            cc = torch.stft(torch.from_numpy(clean), 64, 32, 64, window=win,
+                            return_complex=True)
+            gt = t_drop(t_cirm(nc, cc).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1)
+            crm = model(nc.abs().unsqueeze(1), nc.real.unsqueeze(1),
+                        nc.imag.unsqueeze(1)).permute(0, 2, 3, 1)
+            loss = torch.nn.functional.mse_loss(gt, crm)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 10)
+            opt.step()
+            losses.append(loss.item())
+        return losses
+
+    # -- uninterrupted torch run over all N1+N2 steps (the gold curve) ------
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    torch_steps(tmodel, opt, batches[:n1])
+    tar = tmp_path / "latest_model.tar"
+    torch.save(
+        {
+            "epoch": 3,
+            "best_score": 0.5,
+            "optimizer": opt.state_dict(),
+            "model": tmodel.state_dict(),
+        },
+        tar,
+    )
+    gold_tail = torch_steps(tmodel, opt, batches[n1:n1 + n2])
+
+    # -- import: resume the reference run with OUR trainer ------------------
+    optimizer = make_optimizer(lr=1e-3, clip_grad_norm=10.0)
+    params, opt_state, meta = load_torch_checkpoint(
+        str(tar), "fullsubnet_plus", optimizer=optimizer
+    )
+    assert meta == {"epoch": 3, "best_score": 0.5}
+    cfg = FullSubNetPlusConfig(
+        num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=32,
+        sb_model_hidden_size=24,
+    )
+    state = type(init_train_state(params, optimizer))(
+        params, opt_state, jnp.asarray(n1, jnp.int32)
+    )
+    ours_tail = []
+    with jax.default_matmul_precision("highest"):
+        step = make_train_step(
+            FULLSUBNET_PLUS, cfg, optimizer, mse_loss,
+            n_fft=64, hop_length=32, win_length=64,
+        )
+        for noisy, clean in batches[n1:n1 + n2]:
+            state, metrics = step(state, noisy, clean)
+            ours_tail.append(float(metrics["loss"]))
+    np.testing.assert_allclose(ours_tail, gold_tail, rtol=2e-3, atol=1e-6)
+
+    # -- export key order == parameters() order (index mapping invariant) ---
+    assert list(export_fullsubnet_plus(params).keys()) == [
+        k for k, _ in tmodel.named_parameters()
+    ]
+
+    # -- export: reference resumes OUR run ----------------------------------
+    out_tar = tmp_path / "ours.tar"
+    save_torch_checkpoint(
+        str(out_tar), jax.tree.map(np.asarray, state.params),
+        model_name="fullsubnet_plus", epoch=4,
+        opt_state=jax.tree.map(np.asarray, state.opt_state), lr=1e-3,
+        best_score=0.5,
+    )
+    blob = torch.load(out_tar, map_location="cpu", weights_only=True)
+    tmodel2 = FullSubNet_Plus(**model_kw).train()
+    tmodel2.load_state_dict(blob["model"], strict=True)
+    opt2 = torch.optim.Adam(tmodel2.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    opt2.load_state_dict(blob["optimizer"])
+    torch_tail = torch_steps(tmodel2, opt2, batches[n1 + n2:])
+
+    ours_tail2 = []
+    with jax.default_matmul_precision("highest"):
+        for noisy, clean in batches[n1 + n2:]:
+            state, metrics = step(state, noisy, clean)
+            ours_tail2.append(float(metrics["loss"]))
+    np.testing.assert_allclose(ours_tail2, torch_tail, rtol=2e-3, atol=1e-6)
+
+
 def test_eval_step_runs(rng):
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0))
     eval_step = make_eval_step(FULLSUBNET_PLUS, CFG, mse_loss)
