@@ -55,46 +55,62 @@ def _reference_importable() -> bool:
     return os.path.isdir(REFERENCE)
 
 
-def _import_reference():
+def _import_reference(model: str = "fullsubnet_plus"):
     sys.modules.setdefault("librosa", types.ModuleType("librosa"))
     sys.path[:0] = [p for p in (REFERENCE, os.path.dirname(REFERENCE))
                     if p not in sys.path]
+    if model == "fullsubnet":
+        from fullsubnet.model.fullsubnet import Model as FullSubNet
+
+        return FullSubNet
     from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
 
     return FullSubNet_Plus
 
 
-def _shipped_model_args() -> dict:
-    # config/train.toml:73-91 (SURVEY.md §2.6)
-    return dict(
+def _shipped_model_args(model: str = "fullsubnet_plus") -> dict:
+    # config/train.toml:73-91 (SURVEY.md §2.6); the baseline drops the
+    # attention/kersize/subband knobs (fullsubnet/model/fullsubnet.py:12-40)
+    args = dict(
         num_freqs=257, look_ahead=2, sequence_model="LSTM",
         fb_num_neighbors=0, sb_num_neighbors=15,
         fb_output_activate_function="ReLU", sb_output_activate_function=False,
         fb_model_hidden_size=512, sb_model_hidden_size=384,
-        channel_attention_model="TSSE", norm_type="offline_laplace_norm",
-        num_groups_in_drop_band=2, kersize=[3, 5, 10], subband_num=1,
-        weight_init=False,
+        norm_type="offline_laplace_norm",
+        num_groups_in_drop_band=2, weight_init=False,
     )
+    if model == "fullsubnet_plus":
+        args.update(channel_attention_model="TSSE", kersize=[3, 5, 10],
+                    subband_num=1)
+    return args
 
 
-def our_enhance(params, noisy: np.ndarray) -> np.ndarray:
+def our_enhance(params, noisy: np.ndarray,
+                model: str = "fullsubnet_plus") -> np.ndarray:
     """Our pipeline at the shipped config; returns the 0.8-peak-rescaled
-    float waveform (the value the reference int16-quantizes on write)."""
+    float waveform (the value the reference int16-quantizes on write).
+    The baseline runs through full_band_crm_mask (BASELINE config #1)."""
     from fullsubnet_plus_tpu.enhance import Enhancer
-    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+    from fullsubnet_plus_tpu.models import get_model
 
-    enhancer = Enhancer(FULLSUBNET_PLUS, FULLSUBNET_PLUS.make_config({}), params)
+    model_def = get_model(model)
+    inference_type = ("mag_complex_full_band_crm_mask"
+                      if model_def.n_inputs == 3 else "full_band_crm_mask")
+    enhancer = Enhancer(model_def, model_def.make_config({}), params,
+                        inference_type=inference_type)
     return enhancer.enhance(noisy.astype(np.float32))
 
 
-def torch_enhance(state_dict, noisy: np.ndarray) -> np.ndarray:
-    """The reference pipeline live (inferencer.py:141-160 + 0.8 rescale)."""
+def torch_enhance(state_dict, noisy: np.ndarray,
+                  model_name: str = "fullsubnet_plus") -> np.ndarray:
+    """The reference pipeline live (inferencer.py:141-160 + 0.8 rescale;
+    baseline: inferencer.py:116-138, mag-only input)."""
     import torch
 
-    FullSubNet_Plus = _import_reference()
+    cls = _import_reference(model_name)
     from audio_zen.acoustics.mask import decompress_cIRM
 
-    model = FullSubNet_Plus(**_shipped_model_args()).eval()
+    model = cls(**_shipped_model_args(model_name)).eval()
     model.load_state_dict(
         {k.removeprefix("module."): torch.as_tensor(np.asarray(v))
          for k, v in state_dict.items()},
@@ -104,9 +120,13 @@ def torch_enhance(state_dict, noisy: np.ndarray) -> np.ndarray:
         y = torch.from_numpy(noisy.astype(np.float32))[None]
         win = torch.hann_window(512)
         nc = torch.stft(y, 512, 256, 512, window=win, return_complex=True)
-        crm = model(
-            nc.abs().unsqueeze(1), nc.real.unsqueeze(1), nc.imag.unsqueeze(1)
-        ).permute(0, 2, 3, 1)
+        if model_name == "fullsubnet":
+            crm = model(nc.abs().unsqueeze(1))
+        else:
+            crm = model(
+                nc.abs().unsqueeze(1), nc.real.unsqueeze(1), nc.imag.unsqueeze(1)
+            )
+        crm = crm.permute(0, 2, 3, 1)
         crm = decompress_cIRM(crm)
         er = crm[..., 0] * nc.real - crm[..., 1] * nc.imag
         ei = crm[..., 1] * nc.real + crm[..., 0] * nc.imag
@@ -115,13 +135,13 @@ def torch_enhance(state_dict, noisy: np.ndarray) -> np.ndarray:
     return (0.8 * enhanced / np.max(np.abs(enhanced))).astype(np.float32)
 
 
-def _load_params(path: str):
+def _load_params(path: str, model_name: str = "fullsubnet_plus"):
     from fullsubnet_plus_tpu.io.checkpoint import (
         load_flat, load_torch_checkpoint, nested_from_flat,
     )
 
     if path.endswith((".tar", ".pth")):
-        return load_torch_checkpoint(path, "fullsubnet_plus")
+        return load_torch_checkpoint(path, model_name)
     flat, _ = load_flat(path)
     return nested_from_flat(
         {k.removeprefix("params/"): v for k, v in flat.items()
@@ -138,7 +158,7 @@ def _torch_state_dict(path: str):
 
 
 def run(model_path=None, input_path=None, output_path=None,
-        fixture_path=FIXTURE, tol_db=55.0):
+        fixture_path=FIXTURE, tol_db=55.0, model_name="fullsubnet_plus"):
     import jax
 
     from fullsubnet_plus_tpu.data.wav import read_wav, write_wav
@@ -147,6 +167,8 @@ def run(model_path=None, input_path=None, output_path=None,
     fx = np.load(fixture_path)
     noisy = (np.asarray(read_wav(input_path, sr=int(fx["sr"])), np.float32)
              if input_path else fx["noisy"])
+    fixture_key = ("enhanced_ref" if model_name == "fullsubnet_plus"
+                   else "enhanced_ref_fullsubnet")
 
     results = {}
     with jax.default_matmul_precision("highest"):
@@ -160,21 +182,28 @@ def run(model_path=None, input_path=None, output_path=None,
                 )
             import torch
 
-            from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+            from fullsubnet_plus_tpu.io.torch_convert import (
+                convert_fullsubnet,
+                convert_fullsubnet_plus,
+            )
 
-            FullSubNet_Plus = _import_reference()
+            cls = _import_reference(model_name)
             torch.manual_seed(int(fx["seed"]))
-            tmodel = FullSubNet_Plus(**_shipped_model_args()).eval()
-            params = convert_fullsubnet_plus(tmodel.state_dict())
-            ours = our_enhance(params, noisy)
-            if input_path is None:
-                results["vs_committed_fixture"] = snr_db(fx["enhanced_ref"], ours)
-            results["vs_live_torch"] = snr_db(torch_enhance(tmodel.state_dict(), noisy), ours)
+            tmodel = cls(**_shipped_model_args(model_name)).eval()
+            convert = (convert_fullsubnet_plus if model_name == "fullsubnet_plus"
+                       else convert_fullsubnet)
+            params = convert(tmodel.state_dict())
+            ours = our_enhance(params, noisy, model_name)
+            if input_path is None and fixture_key in fx:
+                results["vs_committed_fixture"] = snr_db(fx[fixture_key], ours)
+            results["vs_live_torch"] = snr_db(
+                torch_enhance(tmodel.state_dict(), noisy, model_name), ours)
         else:
-            params = _load_params(model_path)
-            ours = our_enhance(params, noisy)
+            params = _load_params(model_path, model_name)
+            ours = our_enhance(params, noisy, model_name)
             if model_path.endswith((".tar", ".pth")) and _reference_importable():
-                ref = torch_enhance(_torch_state_dict(model_path), noisy)
+                ref = torch_enhance(_torch_state_dict(model_path), noisy,
+                                    model_name)
                 results["vs_live_torch"] = snr_db(ref, ours)
             else:
                 logger.log(
@@ -210,6 +239,10 @@ def main(argv=None):
     p.add_argument("-I", "--input_wav", default=None,
                    help="wav to enhance (default: the fixture's input)")
     p.add_argument("-O", "--output_wav", default=None)
+    p.add_argument("--model", default="fullsubnet_plus",
+                   choices=["fullsubnet_plus", "fullsubnet"],
+                   help="model family: the shipped FullSubNet+ (default) or "
+                        "the FullSubNet baseline via full_band_crm_mask")
     p.add_argument("--fixture", default=FIXTURE)
     p.add_argument("--tol-db", type=float, default=55.0,
                    help="minimum SNR (dB) between the waveforms to PASS")
@@ -226,7 +259,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     ok = run(args.model_checkpoint_path, args.input_wav, args.output_wav,
-             args.fixture, args.tol_db)
+             args.fixture, args.tol_db, model_name=args.model)
     raise SystemExit(0 if ok else 1)
 
 

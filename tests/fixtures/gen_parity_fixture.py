@@ -38,6 +38,18 @@ SHIPPED_MODEL_ARGS = dict(
     weight_init=False,
 )
 
+# FullSubNet baseline (BASELINE config #1): the canonical hyperparameters of
+# fullsubnet/model/fullsubnet.py:12-118, served via full_band_crm_mask
+# (fullsubnet_plus/inferencer/inferencer.py:116-138).
+BASELINE_MODEL_ARGS = dict(
+    num_freqs=257, look_ahead=2, sequence_model="LSTM",
+    fb_num_neighbors=0, sb_num_neighbors=15,
+    fb_output_activate_function="ReLU", sb_output_activate_function=False,
+    fb_model_hidden_size=512, sb_model_hidden_size=384,
+    norm_type="offline_laplace_norm", num_groups_in_drop_band=2,
+    weight_init=False,
+)
+
 
 def make_input() -> np.ndarray:
     """Deterministic speech-shaped test signal: an AM harmonic stack over
@@ -62,9 +74,10 @@ def make_input() -> np.ndarray:
     return y.astype(np.float32)
 
 
-def torch_reference_enhance(model, noisy: np.ndarray) -> np.ndarray:
+def torch_reference_enhance(model, noisy: np.ndarray, n_inputs: int = 3) -> np.ndarray:
     """The shipped inference pipeline, verbatim math (inferencer.py:141-160 +
-    base_inferencer.py:151-152's 0.8-peak rescale, pre-int16)."""
+    base_inferencer.py:151-152's 0.8-peak rescale, pre-int16). n_inputs=1 is
+    the baseline's full_band_crm_mask (inferencer.py:116-138): mag only."""
     import torch
 
     sys.path[:0] = [p for p in (REFERENCE, "/root/reference") if p not in sys.path]
@@ -75,9 +88,13 @@ def torch_reference_enhance(model, noisy: np.ndarray) -> np.ndarray:
         win = torch.hann_window(512)
         noisy_complex = torch.stft(y, 512, 256, 512, window=win, return_complex=True)
         noisy_mag = noisy_complex.abs().unsqueeze(1)
-        pred_crm = model(
-            noisy_mag, noisy_complex.real.unsqueeze(1), noisy_complex.imag.unsqueeze(1)
-        ).permute(0, 2, 3, 1)
+        if n_inputs == 3:
+            pred_crm = model(
+                noisy_mag, noisy_complex.real.unsqueeze(1), noisy_complex.imag.unsqueeze(1)
+            )
+        else:
+            pred_crm = model(noisy_mag)
+        pred_crm = pred_crm.permute(0, 2, 3, 1)
         pred_crm = decompress_cIRM(pred_crm)
         enhanced_real = pred_crm[..., 0] * noisy_complex.real - pred_crm[..., 1] * noisy_complex.imag
         enhanced_imag = pred_crm[..., 1] * noisy_complex.real + pred_crm[..., 0] * noisy_complex.imag
@@ -95,22 +112,29 @@ def main():
     sys.path[:0] = [p for p in (REFERENCE, "/root/reference") if p not in sys.path]
     from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
 
+    from fullsubnet.model.fullsubnet import Model as FullSubNet
+
     torch.manual_seed(SEED)
     model = FullSubNet_Plus(**SHIPPED_MODEL_ARGS).eval()
     noisy = make_input()
     enhanced = torch_reference_enhance(model, noisy)
+
+    torch.manual_seed(SEED)
+    baseline = FullSubNet(**BASELINE_MODEL_ARGS).eval()
+    enhanced_fsn = torch_reference_enhance(baseline, noisy, n_inputs=1)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_fixture.npz")
     np.savez_compressed(
         out,
         noisy=noisy,
         enhanced_ref=enhanced,
+        enhanced_ref_fullsubnet=enhanced_fsn,
         seed=np.int64(SEED),
         sr=np.int64(SR),
         torch_version=np.bytes_(torch.__version__.encode()),
     )
     print(f"wrote {out}: noisy {noisy.shape}, enhanced {enhanced.shape}, "
-          f"seed {SEED}, torch {torch.__version__}")
+          f"baseline {enhanced_fsn.shape}, seed {SEED}, torch {torch.__version__}")
 
 
 if __name__ == "__main__":
