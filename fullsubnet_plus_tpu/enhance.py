@@ -131,8 +131,12 @@ class Enhancer:
 
     # Modes that accept per-utterance true lengths for bucket-padded
     # batches (masked statistics through the model — see models/*.apply
-    # `valid_frames`).
-    LENGTH_AWARE_MODES = ("mag_complex_full_band_crm_mask", "full_band_crm_mask")
+    # `valid_frames`). docs/PARITY.md has the per-mode scope rationale.
+    LENGTH_AWARE_MODES = (
+        "mag_complex_full_band_crm_mask",
+        "full_band_crm_mask",
+        "sub_band_crm_mask",
+    )
 
     # -- public API ---------------------------------------------------------
 
@@ -311,15 +315,24 @@ class Enhancer:
 
         return self._jit("scaled_mask", fn)(noisy)
 
-    def sub_band_crm_mask(self, noisy):
+    def sub_band_crm_mask(self, noisy, lengths=None):
         """Per-frequency batched sub-band model (inferencer.py:84-114):
         unfold the magnitude into [F, 31, T] and run the model on that
         folded batch directly. [inferencer.args] pad_mode selects the
-        unfold's edge handling (inferencer.py:86)."""
+        unfold's edge handling (inferencer.py:86).
+
+        `lengths` (bucket-padded batches): the per-utterance valid frame
+        counts repeat per frequency row of the fold, so the model's
+        global-over-time statistics ignore padding; the model's apply must
+        accept `valid_frames` (as models/*.apply do)."""
         pad_mode = self.inference_args.get("pad_mode", "reflect")
 
-        def fn(noisy):
-            length = noisy.shape[-1]
+        def fn(noisy, lengths=None):
+            length = noisy.shape[-1]  # before the reflect-fix extension
+            valid_frames = None
+            if lengths is not None:
+                noisy = _reflect_fix_tail(noisy, lengths, self.n_fft, self.hop)
+                valid_frames = (1 + lengths // self.hop).astype(jnp.int32)
             mag, real, imag = stft_split(noisy, self.n_fft, self.hop, self.win)
             batch, num_freqs, frames = mag.shape
             unfolded = freq_unfold(
@@ -328,8 +341,12 @@ class Enhancer:
             unfolded = unfolded.reshape(
                 batch * num_freqs, self.n_neighbor * 2 + 1, frames
             )
+            kw = {}
+            if valid_frames is not None:
+                # each utterance's frame count applies to all its fold rows
+                kw["valid_frames"] = jnp.repeat(valid_frames, num_freqs)
             crm = self.model_def.apply(
-                self.params, unfolded, self.model_config, training=False
+                self.params, unfolded, self.model_config, training=False, **kw
             )  # [B*F, 2, T]
             crm = crm.reshape(batch, num_freqs, 2, frames)
             crm = jnp.transpose(crm, (0, 1, 3, 2))  # [B, F, T, 2]
@@ -340,12 +357,24 @@ class Enhancer:
             crm = -10.0 * jnp.log((10.0 - crm) / (10.0 + crm))
             enhanced_real = crm[..., 0] * real - crm[..., 1] * imag
             enhanced_imag = crm[..., 1] * real + crm[..., 0] * imag
+            if valid_frames is not None:
+                from fullsubnet_plus_tpu.dsp.norms import time_mask
+
+                mask = time_mask(frames, valid_frames, enhanced_real.dtype)[
+                    :, None, :
+                ]
+                enhanced_real = enhanced_real * mask
+                enhanced_imag = enhanced_imag * mask
             return istft(
                 (enhanced_real, enhanced_imag), self.n_fft, self.hop, self.win,
-                length=length,
+                length=length, valid_frames=valid_frames,
             )
 
-        return self._jit("sub_band", fn)(noisy)
+        if lengths is None:
+            return self._jit("sub_band", fn)(noisy)
+        return self._jit("sub_band_masked", fn)(
+            noisy, jnp.asarray(lengths, jnp.int32)
+        )
 
     def overlapped_chunk(self, noisy, chunk_seconds: int | None = None,
                          chunk_batch: int = 8):
