@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import sys
 
 import numpy as np
 
@@ -147,13 +148,48 @@ def main(argv=None):
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--num-hosts", type=int, default=None)
     parser.add_argument("--host-id", type=int, default=None)
+    parser.add_argument("--supervise", type=int, default=None, metavar="N",
+                        help="run under the auto-recovery supervisor "
+                             "(train/supervisor.py): relaunch with -R up to "
+                             "N times on abnormal exit or heartbeat stall")
+    parser.add_argument("--heartbeat-timeout", type=float, default=1800.0,
+                        help="supervisor: seconds without a heartbeat before "
+                             "the child is presumed wedged (remote compiles "
+                             "are slow — keep this generous)")
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.utils.config import load_config
+
+    config = load_config(args.configuration)
+
+    if args.supervise is not None:
+        from fullsubnet_plus_tpu.train.supervisor import supervise
+
+        save_dir = os.path.join(
+            config["meta"]["save_dir"],
+            config["meta"].get("experiment_name", ""),
+        ).rstrip("/")
+        raw = list(sys.argv[1:] if argv is None else argv)
+        child_argv = []
+        skip = False
+        for a in raw:  # strip the supervisor's own flags from the child cmd
+            if skip:
+                skip = False
+                continue
+            if a in ("--supervise", "--heartbeat-timeout"):
+                skip = True
+                continue
+            if a.startswith(("--supervise=", "--heartbeat-timeout=")):
+                continue
+            child_argv.append(a)
+        raise SystemExit(supervise(
+            child_argv, save_dir, max_restarts=args.supervise,
+            heartbeat_timeout=args.heartbeat_timeout,
+        ))
+
     from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
 
     enable_compilation_cache()
-    config = load_config(args.configuration)
     trainer = build_trainer(config, args)
     trainer.train(only_validation=args.only_validation)
 

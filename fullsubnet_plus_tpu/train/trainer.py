@@ -303,8 +303,24 @@ class Trainer:
 
     # -- loop ---------------------------------------------------------------
 
+    def _mark_complete(self):
+        """Write the run-completion marker the supervisor keys on
+        (train/supervisor.py): the recovery paths exit 0 on purpose, so an
+        exit code cannot distinguish "finished" from "checkpointed for -R"."""
+        if not self.is_primary:
+            return
+        path = os.path.join(self.ckpt.save_dir, "run_complete.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump({"epochs": self.epochs, "time": time.time()}, f)
+        os.replace(path + ".tmp", path)
+
     def train(self, only_validation: bool = False):
         self._preempted = False
+        if self.is_primary:  # stale marker from a previous completed run
+            try:
+                os.unlink(os.path.join(self.ckpt.save_dir, "run_complete.json"))
+            except OSError:
+                pass
         if (
             self._handle_preemption
             and threading.current_thread() is threading.main_thread()
@@ -366,6 +382,7 @@ class Trainer:
                 is_best = self._is_best(score)
                 if self.is_primary:
                     self.ckpt.save(self.state, epoch, self.best_score, is_best)
+                self._mark_complete()
                 return
             t0 = time.time()
             try:
@@ -429,6 +446,9 @@ class Trainer:
                     continue
                 if self.is_primary and self._is_best(score):
                     self.ckpt.save(self.state, epoch, self.best_score, is_best=True)
+        # Reached only when every epoch ran to the end — the early returns
+        # (preemption, dead backend) deliberately skip the marker.
+        self._mark_complete()
 
     def _train_epoch(self, epoch: int) -> float:
         from fullsubnet_plus_tpu.parallel.mesh import globalize_batch
