@@ -216,13 +216,29 @@ def _make_mesh_arg(spec):
 
 
 def bench_streaming(args):
-    """Streaming (overlapped_chunk) RTF on the real chip: one utterance at a
-    time through the fixed-shape Hann-OLA pipeline (enhance.py
-    overlapped_chunk — 4 s chunks, 50 % overlap, chunks ride the chip in
-    batches of 8 through ONE compiled length-masked program). This is the
-    latency-shaped serving mode; the host OLA assembly and device round trips
-    are inside the timed region, exactly as a live stream would pay them."""
+    """Streaming (overlapped_chunk) RTF + live-serving latency on the real
+    chip.
+
+    Three measurements (one JSON line):
+      1. Throughput: one utterance through the fixed-shape Hann-OLA pipeline
+         (enhance.py overlapped_chunk — 4 s chunks, 50 % overlap, chunks
+         ride the chip in batches of 8 through ONE compiled length-masked
+         program); host OLA assembly and device round trips inside the
+         timed region.
+      2. Single live stream: one 4 s chunk at a time, batch-1, paced as a
+         real stream pays it — H2D, compute, D2H, host cross-fade per
+         chunk. Reports per-chunk wall p50/p99; the p50 is the added
+         latency between a chunk's audio being available and its enhanced
+         first half being emitted (the reference OLA emits the first hop
+         right after chunk 0, inferencer.py:218-226).
+      3. Cross-stream batching: 8 CONCURRENT streams, one chunk each per
+         tick, through one [8, 256+4 s] masked program — the actual
+         live-serving shape (bench --mode serve scales the same shape to
+         capacity). Reports per-tick wall p50/p99 and whether p99 meets the
+         2 s hop deadline.
+    """
     import jax
+    import jax.numpy as jnp
 
     from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
     from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
@@ -258,8 +274,35 @@ def bench_streaming(args):
         run(args.warmup + i)
         best = min(best, time.perf_counter() - t0)
 
+    # -- latency: single live stream (batch-1) and 8 concurrent streams ----
+    mode = enhancer.mag_complex_full_band_crm_mask
+    chunk, hop = 4 * sr, 2 * sr
+    in_len = 256 + chunk
+    window = np.hanning(chunk + 1)[:chunk].astype(np.float32)
+
+    def chunk_walls(streams: int, n_ticks: int):
+        rows = (rng.standard_normal((streams, in_len)) * 0.1).astype(np.float32)
+        lens = np.full((streams,), in_len, np.int64)
+        prev = np.zeros((streams, hop), np.float32)
+        walls = []
+        for i in range(args.warmup + n_ticks):
+            fresh = rows + np.float32(i) * 1e-9  # new audio each tick (H2D)
+            t0 = time.perf_counter()
+            out = np.asarray(mode(jnp.asarray(fresh), lengths=lens))  # D2H
+            faded = out[:, 256:] * window[None, :]
+            emit = faded[:, :hop] + prev  # host cross-fade, then emit
+            prev = faded[:, hop:]
+            assert np.isfinite(emit).all()
+            if i >= args.warmup:
+                walls.append(time.perf_counter() - t0)
+        return np.asarray(walls)
+
+    single = chunk_walls(1, 24)
+    xstream = chunk_walls(8, 24)
+
     value = seconds / best / len(jax.devices())
     baseline = 8.0 * 2.83  # as in the enhance mode docstring
+    hop_s = hop / sr
     print(
         json.dumps(
             {
@@ -267,6 +310,12 @@ def bench_streaming(args):
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "single_stream_chunk_wall_p50_s": round(float(np.percentile(single, 50)), 4),
+                "single_stream_chunk_wall_p99_s": round(float(np.percentile(single, 99)), 4),
+                "first_output_added_latency_s": round(float(np.percentile(single, 50)), 4),
+                "xstream8_tick_wall_p50_s": round(float(np.percentile(xstream, 50)), 4),
+                "xstream8_tick_wall_p99_s": round(float(np.percentile(xstream, 99)), 4),
+                "xstream8_realtime_p99": bool(np.percentile(xstream, 99) <= hop_s),
             }
         )
     )
@@ -365,6 +414,45 @@ def bench_serve(args):
     )
 
 
+def train_step_flops(batch, samples, n_fft=512, hop=256, num_freqs=257,
+                     drop_groups=2, look_ahead=2, sb_hidden=384, sb_input=34,
+                     tcn_hidden=512, tcn_blocks=8):
+    """Analytic FLOP count of one training step (fwd + bwd) at the shipped
+    FullSubNet+ architecture.
+
+    Counted: the 3 full-band TCN stacks + output Linears, the MulCA grouped
+    convs, the sub-band 2-layer LSTM on the drop_band fold + its fused
+    output Linear, and the noisy/clean rDFT STFTs. Backward is costed at 2x
+    the forward matmul FLOPs (each GEMM spawns dL/dx and dL/dW GEMMs of the
+    same size — exact for the LSTM custom VJP's sweeps). Elementwise ops,
+    norms, and the attention FCs are excluded (<2 % of the total), so the
+    reported MFU is slightly conservative. Hand-counting is necessary
+    because XLA's cost_analysis cannot see inside the Pallas custom call
+    that holds ~90 % of the FLOPs (ops/lstm_pallas.py)."""
+    frames = 1 + samples // hop
+    t_model = frames + look_ahead
+    mm = 0.0
+    # 3 full-band branches: 8 TCN blocks (conv1x1 F->512, depthwise k=3,
+    # sconv 512->F) + Linear F->F
+    per_block_t = 2 * (num_freqs * tcn_hidden * 2 + tcn_hidden * 3)
+    mm += 3 * batch * t_model * (tcn_blocks * per_block_t
+                                 + 2 * num_freqs * num_freqs)
+    # 3 MulCA attentions: grouped convs k=3,5,10 over [F, frames]
+    mm += 3 * batch * 2 * num_freqs * (3 + 5 + 10) * frames
+    # sub-band LSTM on the drop_band fold: layer1 34->4H + layer2 384->4H
+    # input projections, both layers' recurrent H->4H, fused Linear H->2
+    fold = batch * (num_freqs // drop_groups)
+    mm += 2 * fold * t_model * (sb_input + 3 * sb_hidden) * 4 * sb_hidden
+    mm += 2 * fold * t_model * sb_hidden * 2
+    fwd_bwd = 3.0 * mm
+    stft = 2 * 2 * batch * frames * n_fft * (n_fft + 2)  # no grad through it
+    return fwd_bwd + stft
+
+
+# v5e MXU peak; fp32 runs through multi-pass bf16 at ~1/4 rate.
+PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 49.0}
+
+
 def bench_train(args):
     """Full training-step throughput (STFT → forward → MSE → backward →
     clip → Adam) on the reference config: batch 18 × 3.072 s
@@ -444,6 +532,11 @@ def bench_train(args):
     # training throughput; report raw audio-s/s/chip with the same 8x-RTF
     # denominator for a comparable vs_baseline scale.
     baseline = 8.0 * 2.83
+    step_time = elapsed / args.iters
+    flops = train_step_flops(batch // (mesh.shape["data"] if mesh else 1),
+                             samples)
+    peak = PEAK_TFLOPS[args.dtype] * 1e12
+    mfu = flops / step_time / peak
     print(
         json.dumps(
             {
@@ -451,6 +544,11 @@ def bench_train(args):
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "step_time_s": round(step_time, 4),
+                "step_flops_T": round(flops / 1e12, 2),
+                "mfu": round(mfu, 3),
+                # wall-clock multiple of the FLOP speed-of-light step
+                "sol_headroom_x": round(1.0 / mfu, 2),
             }
         )
     )
