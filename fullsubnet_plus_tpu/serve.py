@@ -1,0 +1,204 @@
+"""Live multi-stream serving engine: the production form of the serving
+model measured by `bench.py --mode serve`.
+
+The reference has no serving daemon — its closest surface is the offline
+`overlapped_chunk` inference loop (fullsubnet_plus/inferencer/
+inferencer.py:191-250). This engine runs the SAME chunk/Hann-OLA math
+(equivalence pinned by tests/test_serve.py against enhance.py
+`overlapped_chunk`, which is itself pinned against the reference loop) but
+for many CONCURRENT live streams:
+
+  * Each tick batches one ready 4 s chunk from every active stream into the
+    single fixed-shape length-masked program ([slots, 256 + chunk]) — the
+    shape whose p50/p99 tick wall is measured in docs/PERFORMANCE.md
+    ("Live-stream latency"). More ready streams than slots simply take
+    multiple dispatches per tick.
+  * Fixed shapes only: partial batches repeat row 0 (outputs dropped), the
+    tail chunk is zero-padded and carries its true length — one compiled
+    XLA program serves every stream forever (CLAUDE.md: never dispatch a
+    new shape mid-serve).
+  * All stream state (pre-context, OLA halves) is host-side numpy; the
+    device sees only the batched chunk tensor.
+
+`cli/serve.py` exposes this over a TCP socket; the engine itself is
+synchronous and single-threaded by design — run one engine per chip and
+scale horizontally (capacity: `bench.py --mode serve`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class _Stream:
+    def __init__(self):
+        self.buffer = np.zeros(0, np.float32)  # un-chunked input audio
+        self.received = 0          # total samples fed
+        self.next_chunk = 0        # chunk index to process next
+        self.prev_half = None      # windowed second half awaiting cross-fade
+        self.out = []              # enhanced segments ready to pull
+        self.closed = False
+        self.done = False
+
+
+class StreamingEngine:
+    """Chunked Hann-OLA enhancement for concurrent live streams.
+
+    Parameters: `enhancer` (an enhance.Enhancer; its length-masked base
+    mode is used), `slots` (device batch rows per dispatch), and the chunk
+    geometry (`chunk_samples` defaults to 4 s at the enhancer's sample
+    rate; 50 % overlap, 256 samples of noisy pre-context per chunk —
+    inferencer.py:197-217).
+    """
+
+    PRE_CONTEXT = 256  # noisy samples of left context per chunk
+
+    def __init__(self, enhancer, slots: int = 8, chunk_samples: int | None = None):
+        self.enhancer = enhancer
+        self.slots = int(slots)
+        self.chunk = int(chunk_samples or 4 * enhancer.sr)
+        assert self.chunk % 2 == 0
+        self.hop = self.chunk // 2
+        self.in_len = self.PRE_CONTEXT + self.chunk
+        self.window = np.hanning(self.chunk + 1)[: self.chunk].astype(np.float32)
+        self._base = getattr(
+            enhancer,
+            "mag_complex_full_band_crm_mask"
+            if enhancer.model_def.n_inputs == 3 else "full_band_crm_mask",
+        )
+        self._streams: dict[int, _Stream] = {}
+        self._next_id = 0
+
+    # -- stream lifecycle ---------------------------------------------------
+
+    def open(self) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        self._streams[sid] = _Stream()
+        return sid
+
+    def feed(self, sid: int, samples: np.ndarray) -> None:
+        s = self._streams[sid]
+        assert not s.closed, "feed() after close()"
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        s.buffer = np.concatenate([s.buffer, samples])
+        s.received += len(samples)
+
+    def close(self, sid: int) -> None:
+        """No more audio will arrive; remaining chunks flush on next tick."""
+        self._streams[sid].closed = True
+
+    def pull(self, sid: int) -> np.ndarray:
+        """Drain enhanced audio produced so far (FIFO; may be empty). A
+        finished stream is reaped once fully drained."""
+        s = self._streams.get(sid)
+        if s is None:
+            return np.zeros(0, np.float32)
+        out = (np.concatenate(s.out) if s.out else np.zeros(0, np.float32))
+        s.out = []
+        if s.done:
+            del self._streams[sid]
+        return out
+
+    def is_done(self, sid: int) -> bool:
+        s = self._streams.get(sid)
+        return s is None or (s.done and not s.out)
+
+    @property
+    def active(self) -> int:
+        return len(self._streams)
+
+    # -- the serving tick ---------------------------------------------------
+
+    def _ready_chunk(self, s: _Stream):
+        """The next chunk's input row + true length, or None if not ready.
+
+        Chunk i covers y[i*hop : i*hop + chunk] with 256 samples of noisy
+        pre-context (zeros for chunk 0) — inferencer.py:197-217. A chunk is
+        ready when its full content has arrived, or the stream is closed
+        (the partial tail). A closed stream whose next chunk would start at
+        or past the end yields nothing (the reference loop stops there
+        too — pad-only tails produce no new output).
+        """
+        start = s.next_chunk * self.hop
+        if start >= s.received:
+            return None
+        content_end = start + self.chunk
+        if content_end > s.received:
+            if not s.closed:
+                return None
+            content_end = s.received
+        row = np.zeros(self.in_len, np.float32)
+        if s.next_chunk > 0:
+            row[: self.PRE_CONTEXT] = s.buffer[start - self.PRE_CONTEXT : start]
+        row[self.PRE_CONTEXT : self.PRE_CONTEXT + (content_end - start)] = (
+            s.buffer[start:content_end]
+        )
+        return row, self.PRE_CONTEXT + (content_end - start)
+
+    def _emit(self, s: _Stream, enhanced: np.ndarray) -> None:
+        """Reference Hann-OLA (inferencer.py:218-243): first chunk's first
+        half passes through unwindowed; later chunks window and cross-fade
+        with the saved second half."""
+        if s.next_chunk == 0:
+            s.out.append(enhanced[: self.hop].copy())
+            tail = enhanced[self.hop :]
+            s.prev_half = tail * self.window[self.hop :][: len(tail)]
+        else:
+            enhanced = enhanced * self.window[: len(enhanced)]
+            tmp = enhanced[: self.hop]
+            n = min(len(tmp), len(s.prev_half))
+            s.out.append(tmp[:n] + s.prev_half[:n])
+            s.prev_half = enhanced[self.hop :]
+        s.next_chunk += 1
+
+    def tick(self) -> int:
+        """Process one ready chunk from every stream that has one (batched
+        `slots` rows per dispatch). Returns the number of chunks processed.
+        Call every hop seconds in live operation — one tick's wall time is
+        the added latency (docs/PERFORMANCE.md "Live-stream latency")."""
+        import jax.numpy as jnp
+
+        work = []  # (stream, row, true_len)
+        for s in self._streams.values():
+            if s.done:
+                continue
+            ready = self._ready_chunk(s)
+            if ready is not None:
+                work.append((s, *ready))
+            elif s.closed:
+                self._finish(s)
+        for group_start in range(0, len(work), self.slots):
+            group = work[group_start : group_start + self.slots]
+            rows = [w[1] for w in group]
+            lens = [w[2] for w in group]
+            n_real = len(rows)
+            while len(rows) < self.slots:  # fixed shape: repeat row 0
+                rows.append(rows[0])
+                lens.append(lens[0])
+            out = np.asarray(
+                self._base(jnp.asarray(np.stack(rows)),
+                           lengths=np.asarray(lens, np.int64))
+            )
+            for j in range(n_real):
+                s, _, true_len = group[j]
+                self._emit(s, out[j, self.PRE_CONTEXT : true_len])
+                if s.closed and self._ready_chunk(s) is None:
+                    self._finish(s)
+        return len(work)
+
+    def _finish(self, s: _Stream) -> None:
+        """End of stream. The emitted segments already total the stream's
+        length (every chunk contributes exactly its new-content samples),
+        so the saved OLA half is discarded — the reference's assembly does
+        the same (`enhanced_audio[:, :num_samples]`, inferencer.py:243)."""
+        s.prev_half = None
+        s.done = True
+
+    def drain(self) -> None:
+        """Tick until no stream has work left (offline completion)."""
+        while self.tick():
+            pass
+        for s in self._streams.values():
+            if s.closed and not s.done:
+                self._finish(s)

@@ -1,0 +1,188 @@
+"""Live streaming serving (serve.StreamingEngine + cli.serve TCP server).
+
+The engine must be chunk-for-chunk equivalent to the offline
+overlapped_chunk mode (enhance.py, itself pinned against the reference OLA
+loop inferencer.py:191-250) — a user switching from offline to live serving
+must get the same waveform.
+"""
+
+import json
+import socket
+import struct
+import threading
+
+import jax
+import numpy as np
+
+from fullsubnet_plus_tpu.enhance import Enhancer
+from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+from fullsubnet_plus_tpu.serve import StreamingEngine
+from fullsubnet_plus_tpu.cli.serve import StreamServer, _send_frame, _recv_frame
+
+ACOUSTICS = dict(n_fft=64, hop_length=32, win_length=64)
+SMALL = FullSubNetPlusConfig(
+    num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=16,
+    sb_model_hidden_size=16,
+)
+
+
+def _enhancer():
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL)
+    # sr=1000 keeps the 4 s chunk at 4000 samples — CPU-sized sequences
+    return Enhancer(FULLSUBNET_PLUS, SMALL, params, sr=1000, **ACOUSTICS)
+
+
+def _utt(n, seed):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_engine_matches_overlapped_chunk_all_at_once():
+    """Feed a whole utterance, drain: output must equal the offline
+    overlapped_chunk mode sample-for-sample (same [8, in_len] masked
+    program, same Hann-OLA math)."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    y = _utt(9000, 1)
+    offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+
+    sid = engine.open()
+    engine.feed(sid, y)
+    engine.close(sid)
+    engine.drain()
+    live = engine.pull(sid)
+    assert live.shape == offline.shape == y.shape
+    np.testing.assert_allclose(live, offline, atol=1e-6)
+    assert engine.is_done(sid) and engine.active == 0
+
+
+def test_engine_incremental_feed_matches():
+    """Live pacing: audio arrives in irregular pieces with a tick after
+    each — chunks process as they become ready (partial device batches,
+    fixed shape) and the final waveform is identical."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    y = _utt(11000, 2)
+    offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+
+    sid = engine.open()
+    out = []
+    cuts = [0, 1700, 4096, 4100, 9000, 11000]
+    for a, b in zip(cuts, cuts[1:]):
+        engine.feed(sid, y[a:b])
+        engine.tick()
+        out.append(engine.pull(sid))
+    engine.close(sid)
+    engine.drain()
+    out.append(engine.pull(sid))
+    live = np.concatenate(out)
+    np.testing.assert_allclose(live, offline, atol=1e-6)
+
+
+def test_engine_concurrent_streams():
+    """3 interleaved streams of different lengths each match their own
+    offline result — per-stream OLA state does not cross-contaminate, and
+    chunks from different streams share device batches."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    utts = {0: _utt(9000, 10), 1: _utt(4500, 11), 2: _utt(12500, 12)}
+    offline = {
+        k: np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+        for k, y in utts.items()
+    }
+    sids = {k: engine.open() for k in utts}
+    # interleave feeds in 3000-sample slices
+    pos = {k: 0 for k in utts}
+    outs = {k: [] for k in utts}
+    while any(pos[k] < len(utts[k]) for k in utts):
+        for k in utts:
+            if pos[k] < len(utts[k]):
+                engine.feed(sids[k], utts[k][pos[k] : pos[k] + 3000])
+                pos[k] += 3000
+                if pos[k] >= len(utts[k]):
+                    engine.close(sids[k])
+        engine.tick()
+        for k in utts:
+            outs[k].append(engine.pull(sids[k]))
+    engine.drain()
+    for k in utts:
+        outs[k].append(engine.pull(sids[k]))
+        live = np.concatenate(outs[k])
+        np.testing.assert_allclose(live, offline[k], atol=1e-6,
+                                   err_msg=f"stream {k}")
+
+
+def _client(port, audio, result, idx, frame_size=2048):
+    conn = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        _send_frame(conn, json.dumps({"sr": 1000}).encode())
+        for start in range(0, len(audio), frame_size):
+            _send_frame(conn, audio[start : start + frame_size].tobytes())
+        _send_frame(conn, b"")  # end of stream
+        chunks = []
+        while True:
+            frame = _recv_frame(conn)
+            if frame is None or frame == b"":
+                break
+            chunks.append(np.frombuffer(frame, np.float32))
+        result[idx] = (np.concatenate(chunks)
+                       if chunks else np.zeros(0, np.float32))
+    finally:
+        conn.close()
+
+
+def test_tcp_server_end_to_end():
+    """cli.serve: two concurrent TCP clients stream audio in frames and get
+    back exactly the offline overlapped_chunk waveform."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    server.start()
+    try:
+        utts = [_utt(9000, 20), _utt(6500, 21)]
+        offline = [
+            np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+            for y in utts
+        ]
+        results = {}
+        threads = [
+            threading.Thread(target=_client,
+                             args=(server.port, utts[i], results, i))
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert sorted(results) == [0, 1], f"clients missing: {results.keys()}"
+        for i in range(2):
+            assert results[i].shape == offline[i].shape
+            np.testing.assert_allclose(results[i], offline[i], atol=1e-6,
+                                       err_msg=f"client {i}")
+    finally:
+        server.stop()
+    assert engine.active == 0
+
+
+def test_bad_client_does_not_kill_server():
+    """A client sending garbage (no valid header frame) must be dropped
+    without affecting a concurrent good client."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    server.start()
+    try:
+        bad = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+        bad.sendall(b"\xff\xff")  # truncated length prefix
+        bad.close()
+
+        y = _utt(4500, 30)
+        offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+        results = {}
+        _client(server.port, y, results, 0)
+        np.testing.assert_allclose(results[0], offline, atol=1e-6)
+    finally:
+        server.stop()
