@@ -185,7 +185,8 @@ class StreamServer:
 
 
 def build_engine(config: dict, checkpoint_path: str, slots: int,
-                 compute_dtype: str | None, chunk_seconds: float):
+                 compute_dtype: str | None, chunk_seconds: float,
+                 pipeline_depth: int = 2):
     from fullsubnet_plus_tpu.enhance import Enhancer
     from fullsubnet_plus_tpu.io.checkpoint import (
         load_flat,
@@ -221,6 +222,7 @@ def build_engine(config: dict, checkpoint_path: str, slots: int,
     return StreamingEngine(
         enhancer, slots=slots,
         chunk_samples=int(chunk_seconds * enhancer.sr),
+        pipeline_depth=pipeline_depth,
     )
 
 
@@ -240,6 +242,10 @@ def main(argv=None) -> None:
     parser.add_argument("--tick", type=float, default=0.1,
                         help="engine tick interval in seconds (a tick with "
                              "no ready chunks costs nothing)")
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="in-flight dispatch window: overlaps H2D/"
+                             "compute/D2H across ticks under load; 0 "
+                             "fetches inline (lowest latency)")
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.utils.config import load_config
@@ -250,6 +256,7 @@ def main(argv=None) -> None:
     engine = build_engine(
         config, args.checkpoint, args.slots,
         None if args.dtype == "float32" else args.dtype, args.chunk_seconds,
+        pipeline_depth=args.pipeline_depth,
     )
     StreamServer(engine, args.host, args.port, args.tick).serve_forever()
 

@@ -34,7 +34,9 @@ class _Stream:
     def __init__(self):
         self.buffer = np.zeros(0, np.float32)  # un-chunked input audio
         self.received = 0          # total samples fed
-        self.next_chunk = 0        # chunk index to process next
+        self.next_chunk = 0        # chunk index to DISPATCH next
+        self.emitted_chunks = 0    # chunks whose output has been OLA'd
+        self.inflight = 0          # chunks dispatched but not yet emitted
         self.prev_half = None      # windowed second half awaiting cross-fade
         self.out = []              # enhanced segments ready to pull
         self.closed = False
@@ -53,7 +55,8 @@ class StreamingEngine:
 
     PRE_CONTEXT = 256  # noisy samples of left context per chunk
 
-    def __init__(self, enhancer, slots: int = 8, chunk_samples: int | None = None):
+    def __init__(self, enhancer, slots: int = 8, chunk_samples: int | None = None,
+                 pipeline_depth: int = 0):
         self.enhancer = enhancer
         self.slots = int(slots)
         self.chunk = int(chunk_samples or 4 * enhancer.sr)
@@ -68,6 +71,14 @@ class StreamingEngine:
         )
         self._streams: dict[int, _Stream] = {}
         self._next_id = 0
+        # pipeline_depth > 0: dispatches are queued (device arrays, not
+        # fetched) and collected when ready or when the window overflows —
+        # H2D/compute/D2H overlap across ticks exactly as bench.py
+        # --mode serve models a pipelined server. Depth 0 fetches inline
+        # (lowest latency; the next chunk of a live stream is 2 s away
+        # anyway, so depth mainly matters under many-streams load).
+        self.pipeline_depth = int(pipeline_depth)
+        self._pending: list = []  # (device_out, [(stream, true_len), ...])
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -140,7 +151,7 @@ class StreamingEngine:
         """Reference Hann-OLA (inferencer.py:218-243): first chunk's first
         half passes through unwindowed; later chunks window and cross-fade
         with the saved second half."""
-        if s.next_chunk == 0:
+        if s.emitted_chunks == 0:
             s.out.append(enhanced[: self.hop].copy())
             tail = enhanced[self.hop :]
             s.prev_half = tail * self.window[self.hop :][: len(tail)]
@@ -150,15 +161,16 @@ class StreamingEngine:
             n = min(len(tmp), len(s.prev_half))
             s.out.append(tmp[:n] + s.prev_half[:n])
             s.prev_half = enhanced[self.hop :]
-        s.next_chunk += 1
+        s.emitted_chunks += 1
 
     def tick(self) -> int:
-        """Process one ready chunk from every stream that has one (batched
-        `slots` rows per dispatch). Returns the number of chunks processed.
+        """Dispatch one ready chunk from every stream that has one (batched
+        `slots` rows per dispatch). Returns the number of chunks dispatched.
         Call every hop seconds in live operation — one tick's wall time is
         the added latency (docs/PERFORMANCE.md "Live-stream latency")."""
         import jax.numpy as jnp
 
+        self._collect(block=False)
         work = []  # (stream, row, true_len)
         for s in self._streams.values():
             if s.done:
@@ -166,26 +178,48 @@ class StreamingEngine:
             ready = self._ready_chunk(s)
             if ready is not None:
                 work.append((s, *ready))
-            elif s.closed:
+            elif s.closed and s.inflight == 0:
                 self._finish(s)
         for group_start in range(0, len(work), self.slots):
             group = work[group_start : group_start + self.slots]
             rows = [w[1] for w in group]
             lens = [w[2] for w in group]
-            n_real = len(rows)
             while len(rows) < self.slots:  # fixed shape: repeat row 0
                 rows.append(rows[0])
                 lens.append(lens[0])
-            out = np.asarray(
-                self._base(jnp.asarray(np.stack(rows)),
-                           lengths=np.asarray(lens, np.int64))
-            )
-            for j in range(n_real):
-                s, _, true_len = group[j]
-                self._emit(s, out[j, self.PRE_CONTEXT : true_len])
-                if s.closed and self._ready_chunk(s) is None:
-                    self._finish(s)
+            out = self._base(jnp.asarray(np.stack(rows)),
+                             lengths=np.asarray(lens, np.int64))
+            for s, _, _ in group:
+                s.next_chunk += 1
+                s.inflight += 1
+            entry = (out, [(g[0], g[2]) for g in group])
+            if self.pipeline_depth == 0:
+                self._finalize(entry)  # fetch inline: lowest latency
+            else:
+                self._pending.append(entry)
+                while len(self._pending) > self.pipeline_depth:
+                    self._finalize(self._pending.pop(0))
+        self._collect(block=False)
         return len(work)
+
+    def _collect(self, block: bool) -> None:
+        """Finalize queued dispatches, in order; non-blocking mode stops at
+        the first result the device hasn't produced yet."""
+        while self._pending:
+            out, _ = self._pending[0]
+            if not block and not out.is_ready():
+                return
+            self._finalize(self._pending.pop(0))
+
+    def _finalize(self, entry) -> None:
+        out, refs = entry
+        arr = np.asarray(out)  # D2H
+        for j, (s, true_len) in enumerate(refs):
+            self._emit(s, arr[j, self.PRE_CONTEXT : true_len])
+            s.inflight -= 1
+            if (s.closed and s.inflight == 0
+                    and self._ready_chunk(s) is None):
+                self._finish(s)
 
     def _finish(self, s: _Stream) -> None:
         """End of stream. The emitted segments already total the stream's
@@ -199,6 +233,7 @@ class StreamingEngine:
         """Tick until no stream has work left (offline completion)."""
         while self.tick():
             pass
+        self._collect(block=True)
         for s in self._streams.values():
-            if s.closed and not s.done:
+            if s.closed and not s.done and s.inflight == 0:
                 self._finish(s)

@@ -16,6 +16,14 @@ A/B in one process per CLAUDE.md benchmarking rules) and difference them:
 Prints one JSON line with the per-iteration times and the derived splits.
 
     python scripts/train_breakdown.py [--batch 36] [--iters 16]
+
+KNOWN LIMITATION (2026-08-21): over the axon tunnel the remote compile
+service produces executables for the forward-only (F/FB/FB_sb)
+sub-programs that fail at dispatch with backend
+INVALID_ARGUMENT/FAILED_PRECONDITION, while the FULL step program compiles
+and runs fine (bench.py --mode train) and the same sub-programs execute
+correctly on CPU. Use on a locally-attached TPU; on axon rely on the
+analytic MFU in bench.py (docs/PERFORMANCE.md "Train-step MFU").
 """
 
 import argparse

@@ -13,6 +13,7 @@ import threading
 
 import jax
 import numpy as np
+import pytest
 
 from fullsubnet_plus_tpu.enhance import Enhancer
 from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
@@ -57,12 +58,15 @@ def test_engine_matches_overlapped_chunk_all_at_once():
     assert engine.is_done(sid) and engine.active == 0
 
 
-def test_engine_incremental_feed_matches():
+@pytest.mark.parametrize("depth", [0, 2])
+def test_engine_incremental_feed_matches(depth):
     """Live pacing: audio arrives in irregular pieces with a tick after
     each — chunks process as they become ready (partial device batches,
-    fixed shape) and the final waveform is identical."""
+    fixed shape) and the final waveform is identical. depth=2 exercises
+    the pipelined dispatch window (fetch deferred until ready/overflow)."""
     e = _enhancer()
-    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000,
+                             pipeline_depth=depth)
     y = _utt(11000, 2)
     offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
 
@@ -80,12 +84,15 @@ def test_engine_incremental_feed_matches():
     np.testing.assert_allclose(live, offline, atol=1e-6)
 
 
-def test_engine_concurrent_streams():
+@pytest.mark.parametrize("depth", [0, 3])
+def test_engine_concurrent_streams(depth):
     """3 interleaved streams of different lengths each match their own
     offline result — per-stream OLA state does not cross-contaminate, and
-    chunks from different streams share device batches."""
+    chunks from different streams share device batches (pipelined and
+    inline fetch modes)."""
     e = _enhancer()
-    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000,
+                             pipeline_depth=depth)
     utts = {0: _utt(9000, 10), 1: _utt(4500, 11), 2: _utt(12500, 12)}
     offline = {
         k: np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
