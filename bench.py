@@ -533,8 +533,10 @@ def bench_train(args):
     # denominator for a comparable vs_baseline scale.
     baseline = 8.0 * 2.83
     step_time = elapsed / args.iters
-    flops = train_step_flops(batch // (mesh.shape["data"] if mesh else 1),
-                             samples)
+    # Per-chip FLOPs = global step FLOPs / total devices — the fold shards
+    # over ('data','freq'), so dividing by the data axis alone would
+    # overstate MFU on meshes with a freq axis.
+    flops = train_step_flops(batch, samples) / n_chips
     peak = PEAK_TFLOPS[args.dtype] * 1e12
     mfu = flops / step_time / peak
     print(

@@ -28,6 +28,13 @@ def main(argv=None) -> None:
     parser.add_argument("--model", default="fullsubnet_plus",
                         choices=["fullsubnet_plus", "fullsubnet"],
                         help="which reference module tree to target")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="learning rate for the exported Adam "
+                             "param_groups (torch restores hyperparams from "
+                             "them on resume). Default: the lr recorded in "
+                             "the checkpoint meta, else 1e-3 — pass this if "
+                             "the .npz predates lr recording and the run "
+                             "used a different lr")
     args = parser.parse_args(argv)
 
     from fullsubnet_plus_tpu.io.checkpoint import (
@@ -57,12 +64,14 @@ def main(argv=None) -> None:
             {k.removeprefix("opt_state/"): v for k, v in flat.items()
              if k.startswith("opt_state/")},
         )
+    lr = args.lr if args.lr is not None else float((meta or {}).get("lr", 1e-3))
     save_torch_checkpoint(
         args.output, params, model_name=args.model, epoch=epoch,
-        opt_state=opt_state,
+        opt_state=opt_state, lr=lr,
         best_score=float(meta.get("best_score", 0.0)) if meta else 0.0,
     )
-    with_opt = "with Adam state" if opt_state is not None else "weights-only"
+    with_opt = (f"with Adam state, lr={lr}" if opt_state is not None
+                else "weights-only")
     print(f"wrote {args.output} (epoch {epoch}, model {args.model}, {with_opt})")
 
 

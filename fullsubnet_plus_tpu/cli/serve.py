@@ -129,6 +129,7 @@ class StreamServer:
             self._threads.append(t)
 
     def _client_loop(self, conn: socket.socket, addr) -> None:
+        sid = None
         try:
             header = _recv_frame(conn)
             if header is None:
@@ -150,6 +151,12 @@ class StreamServer:
                 self.engine.close(sid)
         except Exception as e:  # a bad client must not kill the server
             self.log(f"[serve] client {addr} error: {e!r}")
+            if sid is not None:
+                # reap the half-open stream: a long-running daemon with
+                # flaky clients must not accumulate dead engine streams
+                with self._lock:
+                    self.engine.abort(sid)
+                    self._conns.pop(sid, None)
             try:
                 conn.close()
             except OSError:
@@ -158,17 +165,26 @@ class StreamServer:
     def _tick_loop(self) -> None:
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            with self._lock:
-                self.engine.tick()
-                finished = []
-                for sid, conn in list(self._conns.items()):
-                    out = self.engine.pull(sid)
-                    done = self.engine.is_done(sid)
-                    if len(out) or done:
-                        finished.append((sid, conn, out, done))
-                for sid, conn, out, done in finished:
-                    if done:
-                        del self._conns[sid]
+            try:
+                with self._lock:
+                    self.engine.tick()
+                    finished = []
+                    for sid, conn in list(self._conns.items()):
+                        out = self.engine.pull(sid)
+                        done = self.engine.is_done(sid)
+                        if len(out) or done:
+                            finished.append((sid, conn, out, done))
+                    for sid, conn, out, done in finished:
+                        if done:
+                            del self._conns[sid]
+            except Exception as e:
+                # The ticker must survive transient backend errors (the
+                # same JaxRuntimeError class the trainer recovers from) —
+                # a dead ticker would leave every client waiting forever
+                # while the accept loop keeps taking new ones.
+                self.log(f"[serve] tick error (continuing): {e!r}")
+                self._stop.wait(self.tick_interval)
+                continue
             # sends happen outside the engine lock
             for sid, conn, out, done in finished:
                 try:
@@ -209,14 +225,20 @@ def build_engine(config: dict, checkpoint_path: str, slots: int,
         )
     acoustics = config.get("acoustics", {})
     inferencer_cfg = config.get("inferencer", {})
+    # compute_dtype=None means "unset — fall back to the config"; an
+    # explicit "float32" must NOT be silently overridden by a config that
+    # names int8/bf16.
+    if compute_dtype is None:
+        compute_dtype = inferencer_cfg.get("args", {}).get("compute_dtype")
+    if compute_dtype == "float32":
+        compute_dtype = None
     enhancer = Enhancer(
         model_def, model_config, params,
         n_fft=acoustics.get("n_fft", 512),
         hop_length=acoustics.get("hop_length", 256),
         win_length=acoustics.get("win_length", 512),
         sr=acoustics.get("sr", 16000),
-        compute_dtype=(compute_dtype
-                       or inferencer_cfg.get("args", {}).get("compute_dtype")),
+        compute_dtype=compute_dtype,
         inference_args=inferencer_cfg.get("args", {}),
     )
     return StreamingEngine(
@@ -235,8 +257,9 @@ def main(argv=None) -> None:
     parser.add_argument("--slots", type=int, default=8,
                         help="streams per device dispatch (fixed shape)")
     parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
-                        default="int8",
-                        help="int8 is the fastest serving mode "
+                        default=None,
+                        help="default: the config's compute_dtype, else "
+                             "int8 — the fastest serving mode "
                              "(docs/PERFORMANCE.md)")
     parser.add_argument("--chunk-seconds", type=float, default=4.0)
     parser.add_argument("--tick", type=float, default=0.1,
@@ -253,11 +276,16 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     config = load_config(args.configuration)
+    if (args.dtype is None
+            and "compute_dtype" not in config.get("inferencer", {}).get("args", {})):
+        args.dtype = "int8"  # serving default when nothing is configured
     engine = build_engine(
-        config, args.checkpoint, args.slots,
-        None if args.dtype == "float32" else args.dtype, args.chunk_seconds,
+        config, args.checkpoint, args.slots, args.dtype, args.chunk_seconds,
         pipeline_depth=args.pipeline_depth,
     )
+    print("[serve] warming the device program (first compile/load can take "
+          "minutes on a remote backend) ...", flush=True)
+    engine.warmup()
     StreamServer(engine, args.host, args.port, args.tick).serve_forever()
 
 

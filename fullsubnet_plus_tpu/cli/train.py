@@ -114,6 +114,7 @@ def build_trainer(config: dict, args) -> "Trainer":
         valid_num_buckets=trainer_cfg.get("validation", {}).get(
             "num_buckets", 2
         ),
+        lr=opt_cfg.get("lr", 1e-3),
         mesh=mesh,
         compute_dtype="bfloat16" if args.bf16 else None,
         remat=args.remat
@@ -124,7 +125,14 @@ def build_trainer(config: dict, args) -> "Trainer":
     if args.resume:
         trainer.resume()
     if getattr(args, "from_torch", None):
-        trainer.resume_from_torch(args.from_torch)
+        if args.resume:
+            # -R wins: a resumed run (e.g. the supervisor's relaunch of a
+            # --from-torch job) must continue from its own checkpoint, not
+            # re-import the original torch state and lose the progress.
+            logger.log(f"--from-torch {args.from_torch} ignored: -R resume "
+                       "takes precedence")
+        else:
+            trainer.resume_from_torch(args.from_torch)
     if args.preloaded_model_path:
         trainer.preload(args.preloaded_model_path)
     return trainer

@@ -36,9 +36,12 @@ def _crm_to_wave(crm, noisy_real, noisy_imag, length, n_fft, hop, win,
     """decompress cIRM -> complex multiply -> iSTFT (inferencer.py:154-158).
 
     `valid_frames` (bucket-padded batches): frames beyond each utterance's
-    own count are zeroed (they hold boundary leakage × a post-sequence CRM
-    the exact-length run never produces) and the iSTFT normalizes with the
-    per-utterance window envelope."""
+    own count are zeroed HERE (they hold boundary leakage × a post-sequence
+    CRM the exact-length run never produces — the iSTFT only masks its
+    window-ENVELOPE denominator, not the OLA numerator, so without this the
+    invalid frames leak into the last n_fft valid samples; regression:
+    test_length_masked_small_gap_and_fullsubnet drops 124 dB -> 41 dB) and
+    the iSTFT normalizes with the per-utterance window envelope."""
     crm = decompress_cirm(crm)
     enhanced_real = crm[..., 0] * noisy_real - crm[..., 1] * noisy_imag
     enhanced_imag = crm[..., 1] * noisy_real + crm[..., 0] * noisy_imag
@@ -358,6 +361,8 @@ class Enhancer:
             enhanced_real = crm[..., 0] * real - crm[..., 1] * imag
             enhanced_imag = crm[..., 1] * real + crm[..., 0] * imag
             if valid_frames is not None:
+                # zero the invalid frames before OLA — see _crm_to_wave's
+                # docstring (the iSTFT masks only its envelope denominator)
                 from fullsubnet_plus_tpu.dsp.norms import time_mask
 
                 mask = time_mask(frames, valid_frames, enhanced_real.dtype)[

@@ -114,10 +114,16 @@ def nested_from_flat(flat: dict):
 class CheckpointManager:
     """Reference-compatible experiment checkpoint layout."""
 
-    def __init__(self, save_dir: str, is_primary: bool = True):
+    def __init__(self, save_dir: str, is_primary: bool = True,
+                 lr: float | None = None):
         self.save_dir = os.path.abspath(os.path.expanduser(save_dir))
         self.ckpt_dir = os.path.join(self.save_dir, "checkpoints")
         self.is_primary = is_primary
+        # Recorded in every checkpoint's meta so a torch export
+        # (cli.export_torch) can emit the run's real learning rate in the
+        # Adam param_groups — torch restores hyperparams from there, and a
+        # wrong lr would silently jump the resumed trajectory.
+        self.lr = lr
         if is_primary:
             os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -131,6 +137,8 @@ class CheckpointManager:
         if not self.is_primary:
             return
         meta = {"epoch": epoch, "best_score": float(best_score)}
+        if self.lr is not None:
+            meta["lr"] = float(self.lr)
         full = {
             "params": state.params,
             "opt_state": state.opt_state,

@@ -33,6 +33,7 @@ import numpy as np
 class _Stream:
     def __init__(self):
         self.buffer = np.zeros(0, np.float32)  # un-chunked input audio
+        self.base = 0              # absolute index of buffer[0] (prefix trimmed)
         self.received = 0          # total samples fed
         self.next_chunk = 0        # chunk index to DISPATCH next
         self.emitted_chunks = 0    # chunks whose output has been OLA'd
@@ -80,6 +81,17 @@ class StreamingEngine:
         self.pipeline_depth = int(pipeline_depth)
         self._pending: list = []  # (device_out, [(stream, true_len), ...])
 
+    def warmup(self) -> None:
+        """Compile/load the fixed-shape program and run it once, BEFORE
+        accepting traffic: over the remote backend the first dispatch costs
+        minutes (compile 90 s-24 min, cache-hit load ~4 min — CLAUDE.md),
+        which must not happen inside the serving tick while clients wait."""
+        import jax.numpy as jnp
+
+        rows = np.zeros((self.slots, self.in_len), np.float32)
+        lens = np.full((self.slots,), self.in_len, np.int64)
+        np.asarray(self._base(jnp.asarray(rows), lengths=lens))
+
     # -- stream lifecycle ---------------------------------------------------
 
     def open(self) -> int:
@@ -92,12 +104,30 @@ class StreamingEngine:
         s = self._streams[sid]
         assert not s.closed, "feed() after close()"
         samples = np.asarray(samples, np.float32).reshape(-1)
+        # Trim the consumed prefix first: only chunk `next_chunk` onward is
+        # ever read again (plus its pre-context), so an unbounded live
+        # stream must not accumulate its whole history host-side
+        # (~230 MB/h/stream at 16 kHz) nor make feed() O(total-received).
+        keep_from = max(0, s.next_chunk * self.hop - self.PRE_CONTEXT - s.base)
+        if keep_from > 0:
+            s.buffer = s.buffer[keep_from:]
+            s.base += keep_from
         s.buffer = np.concatenate([s.buffer, samples])
         s.received += len(samples)
 
     def close(self, sid: int) -> None:
         """No more audio will arrive; remaining chunks flush on next tick."""
         self._streams[sid].closed = True
+
+    def abort(self, sid: int) -> None:
+        """Drop a stream outright (client gone): no further chunks are
+        dispatched and the state is reaped now. In-flight chunks finalize
+        into the orphaned object and are garbage-collected with it."""
+        s = self._streams.pop(sid, None)
+        if s is not None:
+            s.closed = True
+            s.done = True
+            s.out = []
 
     def pull(self, sid: int) -> np.ndarray:
         """Drain enhanced audio produced so far (FIFO; may be empty). A
@@ -140,10 +170,11 @@ class StreamingEngine:
                 return None
             content_end = s.received
         row = np.zeros(self.in_len, np.float32)
+        rel = start - s.base  # buffer holds [base, received)
         if s.next_chunk > 0:
-            row[: self.PRE_CONTEXT] = s.buffer[start - self.PRE_CONTEXT : start]
+            row[: self.PRE_CONTEXT] = s.buffer[rel - self.PRE_CONTEXT : rel]
         row[self.PRE_CONTEXT : self.PRE_CONTEXT + (content_end - start)] = (
-            s.buffer[start:content_end]
+            s.buffer[rel : content_end - s.base]
         )
         return row, self.PRE_CONTEXT + (content_end - start)
 

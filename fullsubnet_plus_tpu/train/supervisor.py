@@ -95,7 +95,12 @@ def supervise(train_argv, save_dir: str, max_restarts: int = 3,
         while child.poll() is None:
             time.sleep(poll)
             age = _heartbeat_age(save_dir)
-            waited = age if age is not None else time.time() - started
+            since_launch = time.time() - started
+            # A heartbeat older than this attempt's launch is the PREVIOUS
+            # child's — measuring from it would kill every relaunch during
+            # startup/compile. The liveness clock is the newer of (launch,
+            # last heartbeat).
+            waited = min(age, since_launch) if age is not None else since_launch
             if waited > heartbeat_timeout:
                 stalled = True
                 log(f"[supervisor] heartbeat stalled {waited:.0f}s > "

@@ -78,6 +78,7 @@ class Trainer:
         use_tensorboard: bool = True,
         handle_preemption: bool = True,
         heartbeat_interval: int = 50,
+        lr: float | None = None,
     ):
         from fullsubnet_plus_tpu.train.loss import mse_loss
 
@@ -116,7 +117,7 @@ class Trainer:
         self.save_max_metric_score = save_max_metric_score
         self.is_primary = is_primary
 
-        self.ckpt = CheckpointManager(save_dir, is_primary=is_primary)
+        self.ckpt = CheckpointManager(save_dir, is_primary=is_primary, lr=lr)
         self.save_dir = save_dir
         self.start_epoch = 1
         self.best_score = -np.inf if save_max_metric_score else np.inf

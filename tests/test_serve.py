@@ -120,6 +120,48 @@ def test_engine_concurrent_streams(depth):
                                    err_msg=f"stream {k}")
 
 
+def test_engine_buffer_stays_bounded():
+    """A genuinely live stream must not accumulate its whole history
+    host-side: the consumed prefix is trimmed as chunks dispatch (r3
+    review), keeping the buffer O(chunk), not O(stream length)."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    y = _utt(40000, 40)
+    offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+    sid = engine.open()
+    out = []
+    for start in range(0, len(y), 2000):
+        engine.feed(sid, y[start : start + 2000])
+        engine.tick()
+        out.append(engine.pull(sid))
+        buf = engine._streams[sid].buffer
+        assert len(buf) <= 3 * engine.chunk, len(buf)
+    engine.close(sid)
+    engine.drain()
+    out.append(engine.pull(sid))
+    np.testing.assert_allclose(np.concatenate(out), offline, atol=1e-6)
+
+
+def test_engine_abort_reaps_stream():
+    """abort() (client gone) drops the stream immediately; other streams
+    keep working and no state lingers."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    dead = engine.open()
+    engine.feed(dead, _utt(6000, 41))
+    live = engine.open()
+    y = _utt(4500, 42)
+    offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+    engine.feed(live, y)
+    engine.tick()
+    engine.abort(dead)
+    assert engine.is_done(dead)
+    engine.close(live)
+    engine.drain()
+    np.testing.assert_allclose(engine.pull(live), offline, atol=1e-6)
+    assert engine.active == 0
+
+
 def _client(port, audio, result, idx, frame_size=2048):
     conn = socket.create_connection(("127.0.0.1", port), timeout=60)
     try:

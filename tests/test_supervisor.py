@@ -93,6 +93,27 @@ def test_heartbeat_stall_kills_and_relaunches(tmp_path):
     assert status["phase"] == "complete" and status["attempt"] >= 1
 
 
+def test_stale_heartbeat_does_not_kill_relaunch(tmp_path):
+    """Regression (r3 review): the first attempt heartbeats then wedges;
+    after the stall-kill its heartbeat.json is stale. The relaunch must be
+    judged from its own launch time, not the dead child's last heartbeat —
+    the old code SIGTERMed every relaunch during startup."""
+    launcher = _stub(
+        tmp_path,
+        "if '-R' in sys.argv:\n"
+        "    time.sleep(6)  # startup longer than the stale heartbeat age\n"
+        "    complete(); sys.exit(0)\n"
+        "heartbeat(); checkpoint()\n"
+        "time.sleep(600)  # wedged after one heartbeat\n",
+    )
+    rc = supervise([], str(tmp_path), max_restarts=2, heartbeat_timeout=12.0,
+                   grace=5.0, poll=0.05, launcher=launcher,
+                   log=lambda *_: None)
+    assert rc == 0
+    status = json.load(open(tmp_path / "supervisor.json"))
+    assert status["phase"] == "complete" and status["attempt"] == 1
+
+
 def test_clean_exit_without_marker_is_retried(tmp_path):
     """The recovery paths exit 0 on purpose (checkpoint-and-exit); exit
     code 0 without run_complete.json must count as 'needs resume'."""
