@@ -458,7 +458,8 @@ def bench_train(args):
     clip → Adam) on the reference config: batch 18 × 3.072 s
     (config/train.toml:51,57), drop_band groups 2. The sub-band LSTM runs
     forward AND backward through the Pallas custom-VJP kernel
-    (docs/PERFORMANCE.md: bf16 ≈1140 audio-s/s/chip with the queue-ahead
+    (docs/PERFORMANCE.md: bf16 ≈1397 audio-s/s/chip at batch 36 with the
+    fused-weight-grad backward and the queue-ahead
     loop below vs ≈411 via autodiff-of-scan with per-step sync; fp32 via
     scan OOMs HBM). Steps are dispatched back-to-back — the state chain
     keeps device execution serialized — and every step's loss is fetched
@@ -564,7 +565,7 @@ def bench_data(args):
     items), SNR mixing, loudness retarget, batch stacking — through the
     threaded BatchLoader exactly as the trainer consumes it.
     vs_baseline divides by the measured bf16 train-step consumption rate
-    (≈1193 audio-s/s/chip, docs/PERFORMANCE.md): the value is how many
+    (≈1397 audio-s/s/chip, docs/PERFORMANCE.md): the value is how many
     chips one host like this one can feed. Scales with host CPU count
     (this is the reference's DataLoader(num_workers=24) axis, SURVEY §3.4).
     """
@@ -626,7 +627,7 @@ def bench_data(args):
         elapsed = time.perf_counter() - t0
 
     value = iters * batch * 3.072 / elapsed
-    baseline = 1193.0  # measured bf16 train-step audio-s/s/chip
+    baseline = 1397.0  # measured bf16 train-step audio-s/s/chip (fused wgrad)
     print(
         json.dumps(
             {

@@ -40,10 +40,12 @@ activations + h/c sequences written to HBM alongside the output), and the
 backward is a second Pallas kernel sweeping T in REVERSE with only the
 sequential work inside — per step, the cell backward (VPU) plus ONE matmul
 per layer (dgates @ [W;U]ᵀ, which yields d(input) and the dh carry
-together). All O(T·N·D·H) weight-gradient contractions (dW = x/hᵀ·dgates,
-dfc = h₂ᵀ·dy) happen OUTSIDE the kernel as whole-sequence XLA einsums on
-the MXU — they have no sequential dependency, and keeping them out keeps
-the backward kernel's VMEM footprint (weights + transposes + carried state)
+together). The layer weight gradients (dW = x/hᵀ·dgates) are ACCUMULATED
+IN-KERNEL into fp32 VMEM blocks via transposed MXU matmuls
+(_make_bwd_kernel_fused) so the [T, N, 4H] dgates tensors never touch HBM
+(~16 GB of traffic at the batch-36 train shape; landed +15 % step
+throughput). FUSED_WGRAD=False restores the einsum path, whose
+dgates-materializing backward keeps a smaller VMEM footprint
 under the ~16 MB budget.
 """
 
@@ -394,6 +396,109 @@ def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
     return _kernel
 
 
+def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int, d_pad: int):
+    """Reverse sweep with the weight gradients ACCUMULATED IN-KERNEL.
+
+    The plain backward streams two [T, N, 4H] dgates tensors to HBM and the
+    weight-grad einsums read them back (plus the h sequences) — ~16 GB of
+    pure dgates traffic at the batch-36 train shape. Here each timestep's
+    dgates go straight into fp32 VMEM accumulators (dWih/dWhh/db per layer,
+    ~8 MB total) via transposed MXU matmuls contracting over the row tile,
+    and dgates never exist in HBM. Accumulator blocks use constant index
+    maps, so Pallas keeps them VMEM-resident across the whole (rows, time)
+    grid and writes each back once; partial accumulators from different row
+    tiles sum there too (order-free). Padded rows contribute nothing (their
+    dy and carries are zero, hence dgates are zero).
+    """
+    def _kernel(
+        dy_ref, g1_ref, c1_ref, c1p_ref, g2_ref, c2_ref, c2p_ref,
+        x_ref, h1_ref, h1p_ref, h2p_ref,
+        fcwt_ref, w2t_ref, w1t_ref,
+        dx_ref, dwih1_ref, dwhh1_ref, db1_ref, dwih2_ref, dwhh2_ref, db2_ref,
+        dh1, dc1, dh2, dc2,
+    ):
+        s = pl.program_id(1)
+        first_row_tile = pl.program_id(0) == 0
+
+        @pl.when(s == 0)
+        def _():
+            dh1[:] = jnp.zeros_like(dh1)
+            dc1[:] = jnp.zeros_like(dc1)
+            dh2[:] = jnp.zeros_like(dh2)
+            dc2[:] = jnp.zeros_like(dc2)
+
+        @pl.when(first_row_tile & (s == 0))
+        def _():
+            dwih1_ref[:] = jnp.zeros_like(dwih1_ref)
+            dwhh1_ref[:] = jnp.zeros_like(dwhh1_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dwih2_ref[:] = jnp.zeros_like(dwih2_ref)
+            dwhh2_ref[:] = jnp.zeros_like(dwhh2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
+        hidden = dh1.shape[-1]
+        mm = w1t_ref.dtype
+        at_t0 = (t_steps - 1 - s) == 0
+
+        def cell_bwd(dh, g_ref, c_ref, cp_ref, dc_carry):
+            i, f, g, o = _gate_slices(g_ref[0].astype(jnp.float32), hidden)
+            tanh_c = jnp.tanh(c_ref[0].astype(jnp.float32))
+            do = dh * tanh_c
+            dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_carry
+            c_prev = jnp.where(at_t0, 0.0, cp_ref[0].astype(jnp.float32))
+            di, dg, df = dc * g, dc * i, dc * c_prev
+            dgates = jnp.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    df * f * (1.0 - f),
+                    dg * (1.0 - g * g),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )
+            return dgates, dc * f
+
+        # rows-contracting transposed matmul: [tile, A]ᵀ @ [tile, 4H]
+        tdot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # Layer 2 backward (fc backward fused: dh2 += dy @ fcWᵀ).
+        dh2_t = jnp.dot(
+            dy_ref[0].astype(mm), fcwt_ref[:], preferred_element_type=jnp.float32
+        ) + dh2[:]
+        dgates2, dc2_new = cell_bwd(dh2_t, g2_ref, c2_ref, c2p_ref, dc2[:])
+        dc2[:] = dc2_new
+        dg2_mm = dgates2.astype(mm)
+        dinp2 = jnp.dot(dg2_mm, w2t_ref[:], preferred_element_type=jnp.float32)
+
+        # layer-2 weight grads: inputs were [h1_t | h2_{t-1}]
+        h2_prev = jnp.where(at_t0, 0.0, h2p_ref[0].astype(jnp.float32))
+        dwih2_ref[:] += tdot(h1_ref[0].astype(mm), dg2_mm)
+        dwhh2_ref[:] += tdot(h2_prev.astype(mm), dg2_mm)
+        db2_ref[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+
+        # Layer 1 backward.
+        dh1_t = dinp2[:, :hidden] + dh1[:]
+        dh2[:] = dinp2[:, hidden:]
+        dgates1, dc1_new = cell_bwd(dh1_t, g1_ref, c1_ref, c1p_ref, dc1[:])
+        dc1[:] = dc1_new
+        dg1_mm = dgates1.astype(mm)
+        dinp1 = jnp.dot(dg1_mm, w1t_ref[:], preferred_element_type=jnp.float32)
+        dx_ref[0] = dinp1[:, :d].astype(dx_ref.dtype)
+        dh1[:] = dinp1[:, d_total:]
+
+        # layer-1 weight grads: inputs were [x_t (lane-padded) | h1_{t-1}]
+        h1_prev = jnp.where(at_t0, 0.0, h1p_ref[0].astype(jnp.float32))
+        dwih1_ref[:] += tdot(_lane_pad(x_ref[0], d_pad).astype(mm), dg1_mm)
+        dwhh1_ref[:] += tdot(h1_prev.astype(mm), dg1_mm)
+        db1_ref[:] += jnp.sum(dgates1, axis=0, keepdims=True)
+
+    return _kernel
+
+
 def _eff_tile(n: int, dtype, tile_n: int) -> int:
     # fp32 residual blocks double every buffer; halve the row tile to stay
     # inside the ~16 MB VMEM budget (both fwd and bwd derive the tile with
@@ -477,6 +582,11 @@ def _train_fwd(params, x, fc, tile_n, interpret):
     return primal, (params, x, fc, g1, c1, h1, g2, c2, h2)
 
 
+# In-kernel weight-gradient accumulation (see _make_bwd_kernel_fused).
+# Trace-time toggle: False restores the dgates-materializing einsum path.
+FUSED_WGRAD = True
+
+
 def _train_bwd(tile_n, interpret, residuals, dy):
     params, x, fc, g1, c1, h1, g2, c2, h2 = residuals
     n, t, d = x.shape
@@ -510,56 +620,139 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         memory_space=pltpu.VMEM,
     )
     seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
-    dg1, dg2, dx_tm = pl.pallas_call(
-        _make_bwd_kernel(t, d, d_total),
-        grid=(n_total // tile, t),
-        in_specs=[
-            rev(out_dim),
-            rev(4 * hidden), rev(hidden), prev(hidden),
-            rev(4 * hidden), rev(hidden), prev(hidden),
-            resident((out_dim, hidden)),
-            resident((4 * hidden, 2 * hidden)),
-            resident((4 * hidden, d_total + hidden)),
-        ],
-        out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d)),
-        out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d)),
-        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_total * t * (3 * hidden + d_total + out_dim) * 4 * hidden,
-            bytes_accessed=n_total * t * (20 * hidden + d_total + out_dim)
-            * x.dtype.itemsize,
-            transcendentals=n_total * t * 2 * hidden,
-        ),
-        interpret=interpret,
-    )(dy_tm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
-
-    # Weight gradients: whole-sequence contractions, no recurrence — plain
-    # XLA einsums on the MXU. h_prev sequences are the saved h shifted by one
-    # step (zero initial state). Padded rows contribute nothing (their
-    # dgates/dy are zero).
     f32 = jnp.float32
-    h1p = jnp.concatenate([jnp.zeros_like(h1[:1]), h1[:-1]], axis=0)
-    h2p = jnp.concatenate([jnp.zeros_like(h2[:1]), h2[:-1]], axis=0)
     ein = functools.partial(jnp.einsum, preferred_element_type=f32)
-    db1 = ein("tng->g", dg1)
-    db2 = ein("tng->g", dg2)
     cast = lambda g, ref: g.astype(ref.dtype)
-    dparams = {
-        "layers": [
-            {
-                "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1), l1["w_ih"]),
-                "w_hh": cast(ein("tnh,tng->hg", h1p, dg1), l1["w_hh"]),
-                "b_ih": cast(db1, l1["b_ih"]),
-                "b_hh": cast(db1, l1["b_hh"]),
-            },
-            {
-                "w_ih": cast(ein("tnh,tng->hg", h1, dg2), l2["w_ih"]),
-                "w_hh": cast(ein("tnh,tng->hg", h2p, dg2), l2["w_hh"]),
-                "b_ih": cast(db2, l2["b_ih"]),
-                "b_hh": cast(db2, l2["b_hh"]),
-            },
-        ]
-    }
+
+    if FUSED_WGRAD:
+        # The fp32 accumulators (~8 MB) plus the standard double-buffered
+        # blocks exceed the 16 MB scoped-VMEM budget at tile 256 (measured:
+        # 17.04 M). Halve the bwd row tile — padding keeps the fwd tile, so
+        # the residual shapes are untouched and btile always divides
+        # n_total.
+        btile = tile if tile <= 128 else tile // 2
+        rev_b = lambda width: pl.BlockSpec(
+            (1, btile, width), lambda i, s: (t - 1 - s, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        prev_b = lambda width: pl.BlockSpec(
+            (1, btile, width),
+            lambda i, s: (jnp.maximum(t - 2 - s, 0), i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        facc = lambda shape: jax.ShapeDtypeStruct(shape, f32)
+        dx_tm, dwih1, dwhh1, db1, dwih2, dwhh2, db2 = pl.pallas_call(
+            _make_bwd_kernel_fused(t, d, d_total, d_pad),
+            grid=(n_total // btile, t),
+            in_specs=[
+                rev_b(out_dim),
+                rev_b(4 * hidden), rev_b(hidden), prev_b(hidden),
+                rev_b(4 * hidden), rev_b(hidden), prev_b(hidden),
+                rev_b(d), rev_b(hidden), prev_b(hidden), prev_b(hidden),
+                resident((out_dim, hidden)),
+                resident((4 * hidden, 2 * hidden)),
+                resident((4 * hidden, d_total + hidden)),
+            ],
+            out_specs=(
+                rev_b(d),
+                resident((d_total, 4 * hidden)),
+                resident((hidden, 4 * hidden)),
+                resident((1, 4 * hidden)),
+                resident((hidden, 4 * hidden)),
+                resident((hidden, 4 * hidden)),
+                resident((1, 4 * hidden)),
+            ),
+            out_shape=(
+                seq_out(d),
+                facc((d_total, 4 * hidden)),
+                facc((hidden, 4 * hidden)),
+                facc((1, 4 * hidden)),
+                facc((hidden, 4 * hidden)),
+                facc((hidden, 4 * hidden)),
+                facc((1, 4 * hidden)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((btile, hidden), jnp.float32) for _ in range(4)
+            ],
+            cost_estimate=pl.CostEstimate(
+                # step matmuls + the transposed weight-grad accumulations
+                flops=2 * n_total * t
+                * (2 * (3 * hidden + d_total) + out_dim) * 4 * hidden,
+                bytes_accessed=n_total * t
+                * (18 * hidden + 2 * d_total + out_dim) * x.dtype.itemsize,
+                transcendentals=n_total * t * 2 * hidden,
+            ),
+            interpret=interpret,
+        )(dy_tm, g1, c1, c1, g2, c2, c2, x_tm, h1, h1, h2, fcwt, w2t, w1t)
+        db1, db2 = db1[0], db2[0]
+        dparams = {
+            "layers": [
+                {
+                    "w_ih": cast(dwih1[:d], l1["w_ih"]),  # drop lane-pad rows
+                    "w_hh": cast(dwhh1, l1["w_hh"]),
+                    "b_ih": cast(db1, l1["b_ih"]),
+                    "b_hh": cast(db1, l1["b_hh"]),
+                },
+                {
+                    "w_ih": cast(dwih2, l2["w_ih"]),
+                    "w_hh": cast(dwhh2, l2["w_hh"]),
+                    "b_ih": cast(db2, l2["b_ih"]),
+                    "b_hh": cast(db2, l2["b_hh"]),
+                },
+            ]
+        }
+    else:
+        dg1, dg2, dx_tm = pl.pallas_call(
+            _make_bwd_kernel(t, d, d_total),
+            grid=(n_total // tile, t),
+            in_specs=[
+                rev(out_dim),
+                rev(4 * hidden), rev(hidden), prev(hidden),
+                rev(4 * hidden), rev(hidden), prev(hidden),
+                resident((out_dim, hidden)),
+                resident((4 * hidden, 2 * hidden)),
+                resident((4 * hidden, d_total + hidden)),
+            ],
+            out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d)),
+            out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d)),
+            scratch_shapes=[
+                pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_total * t * (3 * hidden + d_total + out_dim)
+                * 4 * hidden,
+                bytes_accessed=n_total * t * (20 * hidden + d_total + out_dim)
+                * x.dtype.itemsize,
+                transcendentals=n_total * t * 2 * hidden,
+            ),
+            interpret=interpret,
+        )(dy_tm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
+
+        # Weight gradients: whole-sequence contractions, no recurrence —
+        # plain XLA einsums on the MXU. h_prev sequences are the saved h
+        # shifted by one step (zero initial state). Padded rows contribute
+        # nothing (their dgates/dy are zero).
+        h1p = jnp.concatenate([jnp.zeros_like(h1[:1]), h1[:-1]], axis=0)
+        h2p = jnp.concatenate([jnp.zeros_like(h2[:1]), h2[:-1]], axis=0)
+        db1 = ein("tng->g", dg1)
+        db2 = ein("tng->g", dg2)
+        dparams = {
+            "layers": [
+                {
+                    "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1), l1["w_ih"]),
+                    "w_hh": cast(ein("tnh,tng->hg", h1p, dg1), l1["w_hh"]),
+                    "b_ih": cast(db1, l1["b_ih"]),
+                    "b_hh": cast(db1, l1["b_hh"]),
+                },
+                {
+                    "w_ih": cast(ein("tnh,tng->hg", h1, dg2), l2["w_ih"]),
+                    "w_hh": cast(ein("tnh,tng->hg", h2p, dg2), l2["w_hh"]),
+                    "b_ih": cast(db2, l2["b_ih"]),
+                    "b_hh": cast(db2, l2["b_hh"]),
+                },
+            ]
+        }
+
     dfc = {
         "weight": cast(ein("tnh,tno->ho", h2, dy_tm), fc["weight"]),
         "bias": cast(ein("tno->o", dy_tm), fc["bias"]),

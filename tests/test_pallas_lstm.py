@@ -44,7 +44,11 @@ def test_pallas_small_fold_tile_shrink(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n,t,d,h,o,tile", [(20, 9, 10, 16, 3, 256), (100, 17, 34, 64, 2, 64)])
+@pytest.mark.parametrize("n,t,d,h,o,tile",
+                         [(20, 9, 10, 16, 3, 256), (100, 17, 34, 64, 2, 64),
+                          (96, 12, 34, 32, 2, 32)])  # 3 row tiles: the
+                         # in-kernel weight-grad accumulators must sum
+                         # across the outer grid dimension too
 def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
     """Custom-VJP (residual fwd kernel + reverse-sweep bwd kernel) gradient
     parity vs jax.grad through the lax.scan path, for every param tensor,
@@ -71,6 +75,31 @@ def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_train_vjp_einsum_fallback(rng, monkeypatch):
+    """FUSED_WGRAD=False restores the dgates-materializing einsum weight
+    grads; both paths must produce the same gradients."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops import lstm_pallas as lp
+
+    n, t, d, h, o = 40, 9, 12, 16, 2
+    params = lstm_init(jax.random.PRNGKey(20), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(21), h, o)
+    x = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+
+    def loss(params, x, fc):
+        return jnp.sum(lp.stacked_lstm2_train(params, x, fc, 32, True) * dy)
+
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+        monkeypatch.setattr(lp, "FUSED_WGRAD", False)
+        g_einsum = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_einsum)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_pallas_train_vjp_bf16(rng):
