@@ -246,7 +246,11 @@ class Trainer:
             path, self.model_def.name, optimizer=self.optimizer
         )
         adam = find_adam_state(opt_state)
-        step = adam.count if adam is not None else self.state.step
+        # int() forces a FRESH device buffer for the step counter —
+        # jnp.asarray(adam.count) would alias the opt_state's own count
+        # array, and the donated train step then aborts with "Attempt to
+        # donate the same buffer twice" on the first step.
+        step = int(adam.count) if adam is not None else int(self.state.step)
         state = TrainState(params, opt_state, jnp.asarray(step, jnp.int32))
         if self.mesh is not None:
             from fullsubnet_plus_tpu.parallel import replicated

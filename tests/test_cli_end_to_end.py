@@ -221,3 +221,55 @@ def test_end_to_end(workspace):
         cwd=repo,
     )
     assert "SI_SDR" in result.stdout and "STOI" in result.stdout
+
+
+@pytest.mark.slow
+def test_cli_from_torch_resume(workspace):
+    """--from-torch through the real CLI: a reference-format .tar (weights
+    + Adam state + epoch) seeds the run, training continues from the
+    recorded epoch, and a subsequent -R resume takes precedence over
+    --from-torch (the supervisor's relaunch path)."""
+    import torch
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # Build a tiny reference-format checkpoint at the workspace's model
+    # config: random-init weights via our export path (loads strict=True),
+    # with a fresh (empty-state) optimizer and epoch=3.
+    import jax
+
+    from fullsubnet_plus_tpu.io.checkpoint import save_torch_checkpoint
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+    from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
+
+    cfg = FullSubNetPlusConfig(
+        num_freqs=33, sb_num_neighbors=4, fb_model_hidden_size=32,
+        sb_model_hidden_size=24,
+    )
+    params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(9), cfg)
+    tar = workspace / "reference_latest.tar"
+    save_torch_checkpoint(str(tar), params, "fullsubnet_plus", epoch=3)
+
+    _run(
+        ["fullsubnet_plus_tpu.cli.train", "-C", str(workspace / "train.toml"),
+         "--from-torch", str(tar), "--epochs", "5"],
+        cwd=repo,
+    )
+    ckpt_dir = workspace / "exp" / "checkpoints"
+    # epoch=3 in the .tar -> training ran epochs 4 and 5 only
+    assert (ckpt_dir / "model_0004.npz").exists()
+    assert (ckpt_dir / "model_0005.npz").exists()
+    assert not (ckpt_dir / "model_0001.npz").exists()
+    log = (workspace / "exp" / "train.log").read_text()
+    assert "Resumed from torch checkpoint" in log
+
+    # -R wins over --from-torch: the run continues from epoch 5, it does
+    # not restart at the torch checkpoint's epoch 3.
+    _run(
+        ["fullsubnet_plus_tpu.cli.train", "-C", str(workspace / "train.toml"),
+         "--from-torch", str(tar), "-R", "--epochs", "6"],
+        cwd=repo,
+    )
+    assert (ckpt_dir / "model_0006.npz").exists()
+    log = (workspace / "exp" / "train.log").read_text()
+    assert "--from-torch" in log and "takes precedence" in log
