@@ -33,7 +33,16 @@ overlaps the ~25 ms axon-tunnel dispatch latency with device compute, which
 is how a real serving loop drives the chip. `--sync-every-iter` restores
 the old fetch-per-iteration behavior (measures latency, not throughput).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Noise discipline: run-to-run variance over the axon tunnel is large
+(±4 % observed on identical code, docs/PERFORMANCE.md), so the headline
+is measured as `--rounds` (default 5) independently timed regions in ONE
+process and the reported value is the MAX-round throughput (= min elapsed
+time — the round least polluted by tunnel stalls; every round did
+identical device work). The JSON also reports `spread` (max/min round
+throughput − 1) and the per-round values so a scoreboard move can be told
+apart from tunnel luck.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import argparse
@@ -66,6 +75,11 @@ def main():
     parser.add_argument("--seconds", type=float, default=10.0)
     parser.add_argument("--iters", type=int, default=None,
                         help="default: 4 (enhance) / 16 (train)")
+    parser.add_argument("--rounds", type=int, default=5,
+                        help="independently timed regions (enhance/train); "
+                             "the reported value is the best round and "
+                             "`spread` reports max/min-1 across rounds "
+                             "(tunnel-noise discipline, CLAUDE.md)")
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
                         default=None,
@@ -170,19 +184,12 @@ def main():
 
     from fullsubnet_plus_tpu.utils.profiling import device_trace
 
-    with device_trace(args.profile_dir):
-        t0 = time.perf_counter()
-        if args.sync_every_iter:
-            for i in range(args.iters):
-                float(run(args.warmup + i))
-        else:
-            taps = [run(args.warmup + i) for i in range(args.iters)]
-            for tap in taps:  # force completion of every iteration
-                float(tap)
-        elapsed = time.perf_counter() - t0
-
     audio_seconds = args.batch * args.seconds * args.iters
-    value = audio_seconds / elapsed / n_chips
+    with device_trace(args.profile_dir):
+        elapsed_rounds = _timed_rounds(run, args)
+
+    per_round = [audio_seconds / e / n_chips for e in elapsed_rounds]
+    value = max(per_round)  # best round = least tunnel pollution
     baseline = 8.0 * 2.83  # see module docstring
     print(
         json.dumps(
@@ -191,9 +198,35 @@ def main():
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "spread": round(max(per_round) / min(per_round) - 1.0, 4),
+                "rounds": [round(v, 1) for v in per_round],
             }
         )
     )
+
+
+def _timed_rounds(run, args):
+    """`args.rounds` independently timed regions of `args.iters` iterations
+    each, all in one process (CLAUDE.md noise methodology). Every round does
+    identical device work with fresh perturbed inputs; queue-ahead within a
+    round, full completion forced before the round's clock stops."""
+    elapsed = []
+    step = args.warmup
+    for _ in range(max(1, args.rounds)):
+        t0 = time.perf_counter()
+        if args.sync_every_iter:
+            for _ in range(args.iters):
+                float(run(step))
+                step += 1
+        else:
+            taps = []
+            for _ in range(args.iters):
+                taps.append(run(step))
+                step += 1
+            for tap in taps:  # force completion of every iteration
+                float(tap)
+        elapsed.append(time.perf_counter() - t0)
+    return elapsed
 
 
 def _make_mesh_arg(spec):
@@ -512,19 +545,25 @@ def bench_train(args):
     for i in range(args.warmup):
         state, loss = run(state, i)
         float(loss)
-    t0 = time.perf_counter()
-    if args.sync_every_iter:
-        for i in range(args.iters):
-            state, loss = run(state, args.warmup + i)
-            float(loss)
-    else:
-        losses = []
-        for i in range(args.iters):
-            state, loss = run(state, args.warmup + i)
-            losses.append(loss)
-        for loss in losses:  # force completion of every step
-            float(loss)
-    elapsed = time.perf_counter() - t0
+    elapsed_rounds = []
+    i = args.warmup
+    for _ in range(max(1, args.rounds)):
+        t0 = time.perf_counter()
+        if args.sync_every_iter:
+            for _ in range(args.iters):
+                state, loss = run(state, i)
+                i += 1
+                float(loss)
+        else:
+            losses = []
+            for _ in range(args.iters):
+                state, loss = run(state, i)
+                i += 1
+                losses.append(loss)
+            for loss in losses:  # force completion of every step
+                float(loss)
+        elapsed_rounds.append(time.perf_counter() - t0)
+    elapsed = min(elapsed_rounds)  # best round = least tunnel pollution
 
     audio_seconds = batch * (samples / 16000) * args.iters
     n_chips = mesh.devices.size if mesh is not None else len(jax.devices())
@@ -547,6 +586,7 @@ def bench_train(args):
                 "value": round(value, 3),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "spread": round(max(elapsed_rounds) / min(elapsed_rounds) - 1.0, 4),
                 "step_time_s": round(step_time, 4),
                 "step_flops_T": round(flops / 1e12, 2),
                 "mfu": round(mfu, 3),
