@@ -241,8 +241,12 @@ def load_torch_checkpoint(path: str, model_name: str = "fullsubnet_plus",
     blob = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = blob["model"] if isinstance(blob, dict) and "model" in blob else blob
     convert = convert_fullsubnet_plus if _is_plus(model_name) else convert_fullsubnet
+    # Strip any DataParallel "module." prefix once, and convert the SAME
+    # stripped dict the Adam key mapping below is built from (the converters
+    # also strip internally, so this keeps the two paths consistent rather
+    # than changing behavior).
     stripped = {k.removeprefix("module."): v for k, v in state_dict.items()}
-    params = convert(state_dict)
+    params = convert(stripped)
     if optimizer is None:
         return params
 

@@ -71,6 +71,14 @@ def convert_gru(sd, prefix: str, num_layers: int):
     return convert_lstm(sd, prefix, num_layers)  # same tensor names/layout
 
 
+def convert_bigru(sd, prefix: str, num_layers: int):
+    """bidirectional nn.GRU -> our {"fwd": ..., "bwd": ...} pair (nn/lstm.py
+    bigru_apply layout). cuDNN key naming and [3H, D] tensor layout match the
+    LSTM's exactly (gate count differs only in the leading-dim size), so the
+    LSTM converters apply unchanged."""
+    return convert_bilstm(sd, prefix, num_layers)
+
+
 def convert_group_norm(sd, prefix: str):
     return {
         "weight": _np(sd[f"{prefix}.weight"]).copy(),
@@ -100,11 +108,9 @@ def convert_sequence_model(sd, prefix: str, sequence_model: str, num_layers: int
         return {"seq": {"blocks": blocks}, "fc_output_layer": fc}
     if sequence_model in ("LSTM", "GRU"):
         if bidirectional:
-            if sequence_model != "LSTM":
-                raise NotImplementedError("bidirectional GRU unused by configs")
-            return {"seq": convert_bilstm(sd, f"{prefix}.sequence_model", num_layers),
-                    "fc_output_layer": fc}
-        conv = convert_lstm if sequence_model == "LSTM" else convert_gru
+            conv = convert_bilstm if sequence_model == "LSTM" else convert_bigru
+        else:
+            conv = convert_lstm if sequence_model == "LSTM" else convert_gru
         return {"seq": conv(sd, f"{prefix}.sequence_model", num_layers), "fc_output_layer": fc}
     raise NotImplementedError(sequence_model)
 

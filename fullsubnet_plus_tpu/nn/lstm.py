@@ -103,10 +103,13 @@ def bilstm_apply(params_fwd, params_bwd, x: jnp.ndarray):
     return x
 
 
-def gru_init(key, input_size: int, hidden_size: int, num_layers: int, dtype=jnp.float32):
+def gru_init(key, input_size: int, hidden_size: int, num_layers: int, dtype=jnp.float32,
+             *, bidirectional: bool = False):
+    """torch-default init; `bidirectional` sizes layer-1+ inputs at 2H (one
+    direction's stack — bigru_apply pairs two, like lstm_init/bilstm_apply)."""
     layers = []
     for layer in range(num_layers):
-        d_in = input_size if layer == 0 else hidden_size
+        d_in = input_size if layer == 0 else hidden_size * (2 if bidirectional else 1)
         k1, k2, k3, k4, key = jax.random.split(key, 5)
         layers.append(
             {
@@ -140,6 +143,18 @@ def _gru_layer(params, x: jnp.ndarray, h0=None):
 
     h_n, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1))
     return jnp.swapaxes(ys, 0, 1), h_n
+
+
+def bigru_apply(params_fwd, params_bwd, x: jnp.ndarray):
+    """Bidirectional stacked GRU (torch bidirectional=True semantics: layer l
+    consumes the 2H concat of both directions of layer l-1). Config-surface
+    parity with the reference SequenceModel (sequence_model.py:20-45); not a
+    hot path in any shipped config."""
+    for p_f, p_b in zip(params_fwd["layers"], params_bwd["layers"]):
+        fwd, _ = _gru_layer(p_f, x)
+        bwd, _ = _gru_layer(p_b, jnp.flip(x, axis=1))
+        x = jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
+    return x
 
 
 def gru_apply(params, x: jnp.ndarray, state=None):

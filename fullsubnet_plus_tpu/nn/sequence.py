@@ -20,6 +20,7 @@ from fullsubnet_plus_tpu.nn.lstm import (
     lstm_init,
     lstm_apply,
     bilstm_apply,
+    bigru_apply,
     gru_init,
     gru_apply,
 )
@@ -69,9 +70,18 @@ def sequence_model_init(
             seq = lstm_init(k_seq, input_size, hidden_size, num_layers, dtype)
             fc_in = hidden_size
     elif sequence_model == "GRU":
-        assert not bidirectional, "bidirectional GRU not wired (unused by configs)"
-        seq = gru_init(k_seq, input_size, hidden_size, num_layers, dtype)
-        fc_in = hidden_size
+        if bidirectional:
+            k_f, k_b = jax.random.split(k_seq)
+            seq = {
+                "fwd": gru_init(k_f, input_size, hidden_size, num_layers, dtype,
+                                bidirectional=True),
+                "bwd": gru_init(k_b, input_size, hidden_size, num_layers, dtype,
+                                bidirectional=True),
+            }
+            fc_in = hidden_size * 2
+        else:
+            seq = gru_init(k_seq, input_size, hidden_size, num_layers, dtype)
+            fc_in = hidden_size
     elif sequence_model == "TCN":
         # hidden_size/num_layers intentionally unused (reference behavior).
         seq = tcn_stack_init(k_seq, input_size, hidden_channel=512, dtype=dtype)
@@ -164,6 +174,8 @@ def sequence_model_apply(
                 return jnp.swapaxes(o, 1, 2)
             else:
                 o, _ = lstm_apply(params["seq"], xt)
+        elif bidirectional:
+            o = bigru_apply(params["seq"]["fwd"], params["seq"]["bwd"], xt)
         else:
             o, _ = gru_apply(params["seq"], xt)
         o = o @ params["fc_output_layer"]["weight"] + params["fc_output_layer"]["bias"]
