@@ -85,13 +85,32 @@ class FullSubNetPlusConfig:
 def init(key, config: FullSubNetPlusConfig = FullSubNetPlusConfig(), dtype=jnp.float32):
     """Build the parameter pytree."""
     assert config.sequence_model in ("GRU", "LSTM", "TCN")
+    if config.subband_num > 1 and config.channel_attention_model != "ECA":
+        # Reference quirk: with subband_num > 1 only the MAG branch folds
+        # sub-bands into time; the real/imag branches still feed [B, F, T]
+        # into attentions sized for num_channels = F//s + 1, so the
+        # reference's own forward crashes for every attention whose params
+        # depend on the channel count (TSSE: grouped conv, SE/CBAM: the SE
+        # FCs — reference fullsubnet_plus.py:157-164, verified live in
+        # tests/test_model_parity.py). Only ECA (channel-count-free gate)
+        # runs end-to-end; fail here with the explanation instead of deep
+        # inside the real branch.
+        raise ValueError(
+            f"subband_num={config.subband_num} with channel_attention_model="
+            f"{config.channel_attention_model!r} cannot run: the reference "
+            "architecture itself crashes on the real/imag branches "
+            "(fullsubnet_plus.py:157-164); only 'ECA' works with "
+            "subband_num > 1"
+        )
     keys = jax.random.split(key, 7)
+    # NOTE: the reference never forwards subband_num into the attention
+    # constructors (fullsubnet_plus.py:52-70) — TSSE always gets the default
+    # groups == num_channels — so neither do we (checkpoint-shape parity).
     ca = lambda k: channel_attention_init(
         k,
         config.channel_attention_model,
         config.num_channels,
         kersize=config.kersize,
-        subband_num=config.subband_num,
         dtype=dtype,
     )
     fb = lambda k: sequence_model_init(
@@ -178,9 +197,9 @@ def apply(
 
     def branch(ca_params, fb_params, x):
         fb_in = norm(x, valid=valid).reshape(batch_size, num_freqs, num_frames)
+        # subband_num deliberately NOT forwarded (reference quirk, see init)
         fb_in = channel_attention_apply(
-            ca_params, ca_model, fb_in, kersize=config.kersize,
-            subband_num=config.subband_num, valid=valid,
+            ca_params, ca_model, fb_in, kersize=config.kersize, valid=valid,
         )
         fb_out = sequence_model_apply(
             fb_params,
@@ -213,7 +232,7 @@ def apply(
         )
         grouped = channel_attention_apply(
             params["channel_attention"], ca_model, grouped,
-            kersize=config.kersize, subband_num=config.subband_num,
+            kersize=config.kersize,
         )
         fb_input = grouped.reshape(batch_size, num_freqs + pad_num, num_frames)[
             :, :num_freqs, :

@@ -159,6 +159,96 @@ def test_fullsubnet_plus_se_variant_forward_parity(ref_modules, rng):
     np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
 
 
+def test_fullsubnet_plus_subband2_forward_parity(ref_modules, rng):
+    """The subband_num=2 grouped path (reference fullsubnet_plus.py:146-153:
+    reflect-pad freq, fold subband groups into the time axis for the
+    attention, unfold back) vs the live reference, end to end through the
+    converter. Uses ECA attention — the ONLY attention that can run with
+    subband_num > 1 (see test_fullsubnet_plus_subband2_tsse_crashes_in_ref:
+    the reference's real/imag branches crash every channel-count-dependent
+    attention)."""
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+    from fullsubnet_plus_tpu.io.torch_convert import (
+        convert_fullsubnet_plus,
+        export_fullsubnet_plus,
+    )
+
+    FullSubNet_Plus, _ = ref_modules
+    torch.manual_seed(8)
+    ref = FullSubNet_Plus(
+        channel_attention_model="ECA", kersize=[3, 5, 10], subband_num=2,
+        **SHARED_ARGS,
+    ).eval()
+    assert ref.num_channels == 129  # F//s + 1
+
+    T = 24
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    real = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    imag = rng.standard_normal((1, 1, 257, T)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(mag), torch.from_numpy(real), torch.from_numpy(imag)
+        ).numpy()
+    params = convert_fullsubnet_plus(
+        ref.state_dict(), channel_attention_model="ECA"
+    )
+    config = jmodel.FullSubNetPlusConfig(
+        channel_attention_model="ECA", subband_num=2
+    )
+    assert config.num_channels == 129
+    ours = np.asarray(jmodel.apply(params, mag, real, imag, config, training=False))
+    assert ours.shape == ref_out.shape == (1, 2, 257, T)
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+    # Converter round-trip at the subband_num=2 shape: export -> strict torch
+    # load -> convert back -> bit-identical tree.
+    import jax
+
+    sd = {k: torch.from_numpy(v.copy())
+          for k, v in export_fullsubnet_plus(
+              params, channel_attention_model="ECA").items()}
+    ref.load_state_dict(sd, strict=True)
+    back = convert_fullsubnet_plus(
+        {k: v.numpy() for k, v in sd.items()}, channel_attention_model="ECA"
+    )
+    flat_a, tree_a = jax.tree_util.tree_flatten(params)
+    flat_b, tree_b = jax.tree_util.tree_flatten(back)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+
+def test_fullsubnet_plus_subband2_tsse_crashes_in_ref(ref_modules, rng):
+    """Documents the reference quirk our init guard mirrors: with
+    subband_num > 1 only the mag branch folds sub-bands, so the reference's
+    real/imag branches feed [B, 257, T] into attentions sized for 129
+    channels and the forward CRASHES for TSSE (grouped conv channel
+    mismatch, fullsubnet_plus.py:157-164). Our init refuses the config with
+    an explanation instead of failing deep inside the real branch."""
+    import pytest
+    import jax
+    from fullsubnet_plus_tpu.models import fullsubnet_plus as jmodel
+
+    FullSubNet_Plus, _ = ref_modules
+    torch.manual_seed(9)
+    ref = FullSubNet_Plus(
+        channel_attention_model="TSSE", kersize=[3, 5, 10], subband_num=2,
+        **SHARED_ARGS,
+    ).eval()  # constructs fine; the crash is in forward
+    T = 8
+    mag = np.abs(rng.standard_normal((1, 1, 257, T))).astype(np.float32)
+    with torch.no_grad(), pytest.raises(RuntimeError, match="groups"):
+        ref(torch.from_numpy(mag), torch.from_numpy(mag), torch.from_numpy(mag))
+
+    with pytest.raises(ValueError, match="subband_num"):
+        jmodel.init(
+            jax.random.PRNGKey(0),
+            jmodel.FullSubNetPlusConfig(
+                channel_attention_model="TSSE", subband_num=2
+            ),
+        )
+
+
 def test_param_count_matches_paper(ref_modules):
     """8.67 M params for the shipped FullSubNet+ (SURVEY.md §2.6)."""
     import jax
