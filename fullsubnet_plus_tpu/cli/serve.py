@@ -32,6 +32,8 @@ import argparse
 import json
 import socket
 import struct
+import subprocess
+import sys
 import threading
 import time
 
@@ -62,6 +64,22 @@ def _recv_exact(conn: socket.socket, n: int):
     return buf
 
 
+def _abort_conn(conn: socket.socket) -> None:
+    """Tear a client connection down so the CLIENT observes EOF now.
+
+    `close()` alone does not wake a peer (or our own reader thread) blocked
+    in recv on the same socket — `shutdown()` sends the FIN and unblocks
+    both sides immediately."""
+    try:
+        conn.shutdown(socket.SHUT_RDWR)
+    except OSError:
+        pass
+    try:
+        conn.close()
+    except OSError:
+        pass
+
+
 class StreamServer:
     """TCP front-end around a serve.StreamingEngine.
 
@@ -69,21 +87,41 @@ class StreamServer:
     dispatches batched chunks and pushes enhanced audio back. All engine
     access is serialized by one lock — the device executes serially anyway,
     and the host work per tick is microseconds.
+
+    Failure policy (the trainer's dead-backend discipline,
+    train/trainer.py): a tick exception is survivable once — transient axon
+    errors happen — but `max_tick_failures` CONSECUTIVE failures mean the
+    backend is poisoned (the documented axon failure mode: every later
+    transfer fails until the process dies), so the daemon closes every
+    client connection and exits nonzero for a supervisor to relaunch. A
+    ticker that stops completing iterations altogether (wedged inside a
+    device fetch that never returns) is caught by the `stall_timeout`
+    watchdog in serve_forever. Streams do NOT survive a restart — a client
+    sees EOF without the empty completion frame and must reconnect.
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 7860,
-                 tick_interval: float = 0.1, log=print):
+                 tick_interval: float = 0.1, log=print,
+                 max_tick_failures: int = 5, stall_timeout: float = 300.0):
         self.engine = engine
         self.tick_interval = tick_interval
         self.log = log
+        self.max_tick_failures = max_tick_failures
+        self.stall_timeout = stall_timeout
+        self.exit_code = 0
         self._lock = threading.Lock()
         self._conns: dict[int, socket.socket] = {}  # sid -> client conn
         self._stop = threading.Event()
+        self._last_tick = time.monotonic()
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self._sock.listen(64)
         self.port = self._sock.getsockname()[1]  # resolved if port was 0
+        # Only the accept + tick threads are tracked/joined; per-client
+        # reader threads are daemonic and untracked — tracking one Thread
+        # object per connection ever served grows without bound in a
+        # long-running daemon (r3 advisor finding).
         self._threads: list[threading.Thread] = []
 
     # -- lifecycle ----------------------------------------------------------
@@ -105,15 +143,41 @@ class StreamServer:
         for t in self._threads:
             t.join(timeout=10)
 
-    def serve_forever(self) -> None:
+    def serve_forever(self) -> int:
+        """Run until stopped; returns the process exit code (0 = clean
+        shutdown, nonzero = the failure policy tripped)."""
         self.start()
         try:
             while not self._stop.is_set():
                 time.sleep(0.2)
+                stalled = time.monotonic() - self._last_tick
+                if self.stall_timeout and stalled > self.stall_timeout:
+                    # The ticker has not completed an iteration in
+                    # stall_timeout seconds — wedged inside a device call
+                    # that will never return. It cannot be interrupted;
+                    # close everything and exit (threads are daemonic).
+                    self.log(f"[serve] ticker stalled {stalled:.0f}s > "
+                             f"{self.stall_timeout:.0f}s: shutting down for "
+                             "supervisor restart")
+                    self.exit_code = 2
+                    self._disconnect_all()
+                    self._stop.set()
         except KeyboardInterrupt:
             pass
         finally:
             self.stop()
+        return self.exit_code
+
+    def _disconnect_all(self) -> None:
+        """Close every client connection WITHOUT the completion frame —
+        clients observe an aborted stream, not a completed one."""
+        with self._lock:
+            conns = list(self._conns.items())
+            self._conns.clear()
+        for sid, conn in conns:
+            _abort_conn(conn)
+        if conns:
+            self.log(f"[serve] aborted {len(conns)} client stream(s)")
 
     # -- internals ----------------------------------------------------------
 
@@ -123,10 +187,8 @@ class StreamServer:
                 conn, addr = self._sock.accept()
             except OSError:
                 return  # socket closed by stop()
-            t = threading.Thread(target=self._client_loop, args=(conn, addr),
-                                 daemon=True)
-            t.start()
-            self._threads.append(t)
+            threading.Thread(target=self._client_loop, args=(conn, addr),
+                             daemon=True).start()
 
     def _client_loop(self, conn: socket.socket, addr) -> None:
         sid = None
@@ -163,13 +225,22 @@ class StreamServer:
                 pass
 
     def _tick_loop(self) -> None:
+        failures = 0  # consecutive ticks with a device error or a lost stream
         while not self._stop.is_set():
             t0 = time.perf_counter()
+            aborted, finished, error = [], [], None
             try:
                 with self._lock:
                     self.engine.tick()
-                    finished = []
                     for sid, conn in list(self._conns.items()):
+                        if self.engine.is_failed(sid):
+                            # device fetch for this stream died (engine
+                            # _finalize): abort — close WITHOUT the
+                            # completion frame so the client sees an error
+                            aborted.append((sid, conn))
+                            del self._conns[sid]
+                            self.engine.abort(sid)
+                            continue
                         out = self.engine.pull(sid)
                         done = self.engine.is_done(sid)
                         if len(out) or done:
@@ -178,13 +249,28 @@ class StreamServer:
                         if done:
                             del self._conns[sid]
             except Exception as e:
-                # The ticker must survive transient backend errors (the
-                # same JaxRuntimeError class the trainer recovers from) —
-                # a dead ticker would leave every client waiting forever
-                # while the accept loop keeps taking new ones.
-                self.log(f"[serve] tick error (continuing): {e!r}")
-                self._stop.wait(self.tick_interval)
-                continue
+                error = e
+            # Survive a transient backend error (the same JaxRuntimeError
+            # class the trainer recovers from) — but `max_tick_failures`
+            # CONSECUTIVE ticks that raised or killed a stream mean a
+            # poisoned backend that will fail every later transfer: exit
+            # for a supervisor restart instead of spinning while streams
+            # silently stall (r3 verdict #4).
+            if error is not None or aborted:
+                failures += 1
+                why = repr(error) if error is not None else "stream fetch died"
+                self.log(f"[serve] tick failure "
+                         f"({failures}/{self.max_tick_failures}): {why}")
+            else:
+                failures = 0
+            self._close_aborted(aborted)
+            if failures >= self.max_tick_failures:
+                self.log("[serve] persistent tick failures: shutting "
+                         "down for supervisor restart")
+                self.exit_code = 1
+                self._disconnect_all()
+                self._stop.set()
+                return
             # sends happen outside the engine lock
             for sid, conn, out, done in finished:
                 try:
@@ -196,13 +282,19 @@ class StreamServer:
                         self.log(f"[serve] stream {sid} complete")
                 except OSError:
                     pass  # client went away; engine state already reaped
+            self._last_tick = time.monotonic()
             elapsed = time.perf_counter() - t0
             self._stop.wait(max(0.0, self.tick_interval - elapsed))
+
+    def _close_aborted(self, aborted) -> None:
+        for sid, conn in aborted:
+            _abort_conn(conn)
+            self.log(f"[serve] stream {sid} aborted (device failure)")
 
 
 def build_engine(config: dict, checkpoint_path: str, slots: int,
                  compute_dtype: str | None, chunk_seconds: float,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, log=print):
     from fullsubnet_plus_tpu.enhance import Enhancer
     from fullsubnet_plus_tpu.io.checkpoint import (
         load_flat,
@@ -241,11 +333,55 @@ def build_engine(config: dict, checkpoint_path: str, slots: int,
         compute_dtype=compute_dtype,
         inference_args=inferencer_cfg.get("args", {}),
     )
+    # Honor the config's inferencer type when it names a length-aware
+    # per-chunk mode (r3 advisor finding: a config specifying
+    # sub_band_crm_mask must not silently be served via
+    # full_band_crm_mask). "overlapped_chunk" (and unset) mean the engine's
+    # own default — the engine IS the live form of that mode.
+    mode = None
+    configured = inferencer_cfg.get("type")
+    if configured and configured != "overlapped_chunk":
+        if configured in Enhancer.LENGTH_AWARE_MODES:
+            mode = configured
+        else:
+            log(f"[serve] config inferencer.type={configured!r} is not a "
+                f"length-aware per-chunk mode ({Enhancer.LENGTH_AWARE_MODES})"
+                " — serving the model family's default full-band cIRM mode")
     return StreamingEngine(
         enhancer, slots=slots,
         chunk_samples=int(chunk_seconds * enhancer.sr),
         pipeline_depth=pipeline_depth,
+        mode=mode,
     )
+
+
+def supervise_serve(child_argv, max_restarts: int = 3, log=print,
+                    launcher=None) -> int:
+    """Serving counterpart of train/supervisor.py: relaunch the daemon while
+    it exits nonzero (poisoned backend, ticker stall), up to `max_restarts`
+    times. A clean exit (0 — operator shutdown) ends supervision. Unlike
+    training there is no state to resume: streams are LOST across a restart
+    (clients observe EOF without the completion frame and must reconnect);
+    the relaunched daemon re-warms the device program before accepting.
+
+    Kill discipline per CLAUDE.md: the supervisor never signals by pattern;
+    it only ever waits on the exact child it spawned."""
+    attempt = 0
+    prefix = launcher or [sys.executable, "-m", "fullsubnet_plus_tpu.cli.serve"]
+    while True:
+        child = subprocess.Popen(list(prefix) + list(child_argv))
+        log(f"[serve-supervisor] attempt {attempt}: launched pid {child.pid}")
+        rc = child.wait()
+        if rc == 0:
+            log("[serve-supervisor] clean shutdown")
+            return 0
+        if attempt >= max_restarts:
+            log(f"[serve-supervisor] giving up after {attempt} restart(s) "
+                f"(exit {rc})")
+            return rc
+        attempt += 1
+        log(f"[serve-supervisor] exit {rc}: relaunching "
+            f"({attempt}/{max_restarts})")
 
 
 def main(argv=None) -> None:
@@ -269,7 +405,32 @@ def main(argv=None) -> None:
                         help="in-flight dispatch window: overlaps H2D/"
                              "compute/D2H across ticks under load; 0 "
                              "fetches inline (lowest latency)")
+    parser.add_argument("--max-tick-failures", type=int, default=5,
+                        help="consecutive tick failures before the daemon "
+                             "aborts all streams and exits nonzero "
+                             "(poisoned-backend escape; pair with "
+                             "--supervise)")
+    parser.add_argument("--stall-timeout", type=float, default=300.0,
+                        help="seconds without a completed tick before the "
+                             "daemon assumes the backend wedged a device "
+                             "call forever and exits (0 disables)")
+    parser.add_argument("--supervise", type=int, default=None, metavar="N",
+                        help="run under a supervisor that relaunches the "
+                             "daemon up to N times when it exits nonzero "
+                             "(streams are lost across a restart: clients "
+                             "see EOF without the completion frame and must "
+                             "reconnect)")
     args = parser.parse_args(argv)
+    if args.supervise is not None:
+        child_argv = list(argv) if argv is not None else sys.argv[1:]
+        for i, a in enumerate(child_argv):
+            if a == "--supervise":
+                del child_argv[i : i + 2]
+                break
+            if a.startswith("--supervise="):
+                del child_argv[i]
+                break
+        raise SystemExit(supervise_serve(child_argv, args.supervise))
 
     from fullsubnet_plus_tpu.utils.config import load_config
     from fullsubnet_plus_tpu.utils.misc import enable_compilation_cache
@@ -286,7 +447,13 @@ def main(argv=None) -> None:
     print("[serve] warming the device program (first compile/load can take "
           "minutes on a remote backend) ...", flush=True)
     engine.warmup()
-    StreamServer(engine, args.host, args.port, args.tick).serve_forever()
+    rc = StreamServer(
+        engine, args.host, args.port, args.tick,
+        max_tick_failures=args.max_tick_failures,
+        stall_timeout=args.stall_timeout,
+    ).serve_forever()
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,7 @@ class _Stream:
         self.out = []              # enhanced segments ready to pull
         self.closed = False
         self.done = False
+        self.failed = False        # a device fetch for this stream's chunk died
 
 
 class StreamingEngine:
@@ -57,7 +58,7 @@ class StreamingEngine:
     PRE_CONTEXT = 256  # noisy samples of left context per chunk
 
     def __init__(self, enhancer, slots: int = 8, chunk_samples: int | None = None,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, mode: str | None = None):
         self.enhancer = enhancer
         self.slots = int(slots)
         self.chunk = int(chunk_samples or 4 * enhancer.sr)
@@ -65,11 +66,22 @@ class StreamingEngine:
         self.hop = self.chunk // 2
         self.in_len = self.PRE_CONTEXT + self.chunk
         self.window = np.hanning(self.chunk + 1)[: self.chunk].astype(np.float32)
-        self._base = getattr(
-            enhancer,
-            "mag_complex_full_band_crm_mask"
-            if enhancer.model_def.n_inputs == 3 else "full_band_crm_mask",
-        )
+        # `mode` selects the per-chunk base enhancement mode; it must be
+        # length-aware (the tail chunk is zero-padded with a true length).
+        # Default: the model family's full-band cIRM mode, matching the
+        # offline overlapped_chunk loop this engine is the live form of.
+        if mode is None:
+            mode = ("mag_complex_full_band_crm_mask"
+                    if enhancer.model_def.n_inputs == 3
+                    else "full_band_crm_mask")
+        if mode not in enhancer.LENGTH_AWARE_MODES:
+            raise ValueError(
+                f"serving mode {mode!r} is not length-aware "
+                f"({enhancer.LENGTH_AWARE_MODES}); the engine's zero-padded "
+                "tail chunks need masked statistics"
+            )
+        self.mode = mode
+        self._base = getattr(enhancer, mode)
         self._streams: dict[int, _Stream] = {}
         self._next_id = 0
         # pipeline_depth > 0: dispatches are queued (device arrays, not
@@ -144,6 +156,14 @@ class StreamingEngine:
     def is_done(self, sid: int) -> bool:
         s = self._streams.get(sid)
         return s is None or (s.done and not s.out)
+
+    def is_failed(self, sid: int) -> bool:
+        """True if a device fetch for this stream's chunk raised: its output
+        is incomplete and will never finish — the server must abort it (close
+        the client connection WITHOUT the completion frame) rather than let
+        the client wait forever (r3 advisor finding)."""
+        s = self._streams.get(sid)
+        return s is not None and s.failed
 
     @property
     def active(self) -> int:
@@ -244,7 +264,21 @@ class StreamingEngine:
 
     def _finalize(self, entry) -> None:
         out, refs = entry
-        arr = np.asarray(out)  # D2H
+        try:
+            arr = np.asarray(out)  # D2H
+        except Exception:
+            # The fetch died (e.g. a poisoned remote backend where every
+            # later transfer fails — CLAUDE.md). The chunk is lost; without
+            # this the stream's inflight count never reaches zero and its
+            # client hangs forever. Mark every affected stream failed (no
+            # further dispatches, reaped by the server) and re-raise so the
+            # ticker's failure policy counts the error.
+            for s, _ in refs:
+                s.inflight -= 1
+                s.failed = True
+                s.done = True
+                s.out = []
+            raise
         for j, (s, true_len) in enumerate(refs):
             self._emit(s, arr[j, self.PRE_CONTEXT : true_len])
             s.inflight -= 1

@@ -215,6 +215,161 @@ def test_tcp_server_end_to_end():
     assert engine.active == 0
 
 
+class _PoisonFetch:
+    """Mimics a device array whose D2H fetch always fails (the documented
+    poisoned-axon-backend mode: dispatch appears to succeed, every transfer
+    raises)."""
+
+    def __array__(self, *a, **k):
+        raise RuntimeError("UNIMPLEMENTED: poisoned backend")
+
+    def is_ready(self):
+        return True
+
+
+def test_engine_finalize_failure_aborts_stream():
+    """A failed D2H fetch must not leave the stream hanging with a stuck
+    inflight count (r3 advisor): the chunk's streams are marked failed/done
+    so the server can abort their connections, and the error propagates to
+    the ticker's failure policy."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    engine._base = lambda *a, **k: _PoisonFetch()
+    sid = engine.open()
+    engine.feed(sid, _utt(6000, 50))
+    with pytest.raises(RuntimeError, match="poisoned"):
+        engine.tick()
+    assert engine.is_failed(sid)
+    s = engine._streams[sid]
+    assert s.done and s.inflight == 0 and not s.out
+    engine.abort(sid)
+    assert engine.active == 0
+
+
+def test_engine_mode_selection():
+    """The engine honors an explicit length-aware mode and rejects modes
+    that cannot mask the zero-padded tail chunk (r3 advisor: the configured
+    inference type was silently ignored)."""
+    e = _enhancer()
+    assert StreamingEngine(e, chunk_samples=4000).mode == \
+        "mag_complex_full_band_crm_mask"
+    eng = StreamingEngine(e, chunk_samples=4000,
+                          mode="mag_complex_full_band_crm_mask")
+    assert eng.mode == "mag_complex_full_band_crm_mask"
+    with pytest.raises(ValueError, match="length-aware"):
+        StreamingEngine(e, chunk_samples=4000, mode="overlapped_chunk")
+
+
+def test_server_poisoned_backend_exits_nonzero():
+    """VERDICT r4 ask #4: N consecutive failed ticks => the daemon closes
+    every client connection (EOF without the completion frame) and
+    serve_forever returns nonzero for a supervisor to relaunch."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, port=0, tick_interval=0.01,
+                          log=lambda *_: None, max_tick_failures=3)
+    rc_box = {}
+    runner = threading.Thread(target=lambda: rc_box.setdefault(
+        "rc", server.serve_forever()), daemon=True)
+    runner.start()
+    try:
+        conn = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        _send_frame(conn, json.dumps({"sr": 1000}).encode())
+
+        # poison the backend AFTER the client is in, then feed a chunk:
+        # every dispatch now raises (the chunk stays ready, so every tick
+        # fails again — the permanently-raising-enhancer scenario)
+        def boom(*a, **k):
+            raise RuntimeError("UNIMPLEMENTED: poisoned backend")
+
+        engine._base = boom
+        _send_frame(conn, _utt(6000, 51).tobytes())
+        # ticks now fail every iteration; after max_tick_failures the
+        # daemon disconnects us: recv sees EOF with NO empty frame first
+        conn.settimeout(30)
+        got_eof_without_completion = False
+        while True:
+            frame = _recv_frame(conn)
+            if frame is None:
+                got_eof_without_completion = True
+                break
+            if frame == b"":
+                break  # completion frame — would be a lie here
+        assert got_eof_without_completion
+        runner.join(timeout=30)
+        assert not runner.is_alive()
+        assert rc_box["rc"] == 1 and server.exit_code == 1
+    finally:
+        conn.close()
+        server.stop()
+
+
+def test_server_stall_watchdog_exits():
+    """A ticker wedged inside a device call that never returns (the axon
+    failure mode exceptions cannot surface from) trips the serve_forever
+    stall watchdog: clients are disconnected and the exit code is 2."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    wedge = threading.Event()
+    engine.tick = lambda: wedge.wait(5)  # "never" completes (test-sized)
+    server = StreamServer(engine, port=0, tick_interval=0.01,
+                          log=lambda *_: None, stall_timeout=1.0)
+    try:
+        rc = server.serve_forever()
+        assert rc == 2 and server.exit_code == 2
+    finally:
+        wedge.set()
+        server.stop()
+
+
+def test_supervise_serve_relaunches_and_new_client_connects(tmp_path):
+    """The serve supervisor relaunches a daemon that exited nonzero; a new
+    client can connect to the relaunched instance. The child here is a stub
+    daemon: attempt 0 dies (poisoned backend), attempt 1 serves one TCP
+    connection and exits 0."""
+    import sys as _sys
+    from fullsubnet_plus_tpu.cli.serve import supervise_serve
+
+    stub = tmp_path / "stub_daemon.py"
+    port_file = tmp_path / "port"
+    stub.write_text(
+        "import socket, sys, os\n"
+        "state = sys.argv[1]\n"
+        "if not os.path.exists(state):\n"
+        "    open(state, 'w').write('died once')\n"
+        "    sys.exit(1)  # first launch: poisoned backend\n"
+        "s = socket.socket()\n"
+        "s.bind(('127.0.0.1', 0))\n"
+        "s.listen(1)\n"
+        f"open({str(port_file)!r} + '.tmp', 'w').write(str(s.getsockname()[1]))\n"
+        f"os.replace({str(port_file)!r} + '.tmp', {str(port_file)!r})\n"
+        "conn, _ = s.accept()\n"
+        "conn.sendall(b'relaunched')\n"
+        "conn.close()\n"
+        "sys.exit(0)\n"
+    )
+    state = tmp_path / "state"
+    logs = []
+    result = {}
+    t = threading.Thread(target=lambda: result.setdefault("rc", supervise_serve(
+        [str(state)], max_restarts=2, log=logs.append,
+        launcher=[_sys.executable, str(stub)])), daemon=True)
+    t.start()
+    # wait for the relaunched instance to publish its port, then connect
+    import time as _time
+    deadline = _time.monotonic() + 30
+    while not port_file.exists() and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert port_file.exists(), f"relaunch never served: {logs}"
+    conn = socket.create_connection(("127.0.0.1", int(port_file.read_text())),
+                                    timeout=10)
+    assert conn.recv(64) == b"relaunched"
+    conn.close()
+    t.join(timeout=30)
+    assert result["rc"] == 0
+    assert any("relaunching" in str(m) for m in logs)
+
+
 def test_bad_client_does_not_kill_server():
     """A client sending garbage (no valid header frame) must be dropped
     without affecting a concurrent good client."""
