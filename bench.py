@@ -13,17 +13,18 @@ audio-s/s on the author's unstated hardware). BASELINE.json's target is
 vs_baseline against 8 × 2.83 = 22.6 audio-s/s — i.e. vs_baseline ≥ 1 means
 the per-chip target against the only measurable reference datapoint is met.
 
-Default config is the TPU serving configuration: batch 64, bfloat16 model
+Default config is the TPU serving configuration: batch 96, bfloat16 model
 compute with fp32 STFT/cIRM/iSTFT math, and the sub-band LSTM's recurrent
 products on the int8 MXU (ops/lstm_pallas.py stacked_lstm2_quantized).
 int8 costs NO additional waveform error over bf16 at the full model size:
 both agree with the fp32 waveform at 21.9 dB / 21.8 dB respectively
 (docs/PERFORMANCE.md), because h is bounded (-1,1) and per-column weight
 scales keep the quantization noise under the bf16 mantissa noise already
-present. Measured on v5e: int8 batch-64 ≈2296, bf16 batch-64 ≈2082, bf16
-batch-32 ≈1755, fp32 batch-32 ≈1459 audio-s/s/chip (fp32 batch-64 exceeds
-HBM). `--dtype bfloat16` / `--dtype float32 --batch 32` reproduce the
-other rows.
+present. Measured on v5e with the feature-sublane-major input layout
+(ops/lstm_pallas.py _feature_major, r4): int8 batch-96 ≈2748, batch-64
+≈2720, batch-128 ≈2735, bf16 batch-64 ≈2194 audio-s/s/chip (pre-layout:
+int8-64 2340, bf16-64 2082; batch 96+ used to OOM outright). `--dtype
+bfloat16` / `--dtype float32 --batch 32` reproduce the other rows.
 
 Dispatch discipline: iterations are queued ahead (dispatched back-to-back,
 one fused jit program per iteration) and completion of EVERY iteration is
@@ -113,7 +114,7 @@ def main():
     if args.mode == "serve":
         return bench_serve(args)
     args.dtype = "int8" if args.dtype is None else args.dtype
-    args.batch = 64 if args.batch is None else args.batch
+    args.batch = 96 if args.batch is None else args.batch
     args.iters = 4 if args.iters is None else args.iters
 
     import jax

@@ -160,14 +160,18 @@ def sequence_model_apply(
                     if quantized
                     else (stacked_lstm2_train, stacked_lstm2_train_sharded, 256)
                 )
+                # The kernels take the model's native channel-major [N, D, T]
+                # fold directly — no [N, T, D] transpose in between (the old
+                # lane-minor D=34 layout physically padded to 128 lanes in
+                # HBM, 3.8x; see ops/lstm_pallas.py _feature_major).
                 if fold_axes:
                     o = sharded(
-                        params["seq"], xt, params["fc_output_layer"], fold_axes,
+                        params["seq"], x, params["fc_output_layer"], fold_axes,
                         tile, interp,
                     )
                 else:
                     o = plain(
-                        params["seq"], xt, params["fc_output_layer"], tile, interp
+                        params["seq"], x, params["fc_output_layer"], tile, interp
                     )
                 if output_activate_function:
                     o = _ACTIVATIONS[output_activate_function](o)

@@ -77,6 +77,21 @@ def _combined_weights(params, dtype, d_pad):
     return w1, b1, w2, b2
 
 
+def _split_weights(params, dtype, d_pad):
+    """Per-layer weights for the feature-sublane-major forward kernels:
+    layer-1 input rows sublane-padded ([Dp, 4H]), U1 separate (the input
+    product is a sublane-contracting dot), layer-2 kept combined."""
+    l1, l2 = params["layers"]
+    w1x = jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0)))
+    u1 = l1["w_hh"].astype(dtype)
+    b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(dtype)
+    w2 = jnp.concatenate(
+        [l2["w_ih"].astype(dtype), l2["w_hh"].astype(dtype)], axis=0
+    )  # [2H, 4H]
+    b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(dtype)
+    return w1x, u1, b1, w2, b2
+
+
 def _lane_pad(x, d_pad):
     """Zero-pad the minor dim inside the kernel (VMEM) so the HBM copy of
     the input stays unpadded — for the shipped D=34 the old HBM-side pad to
@@ -88,8 +103,27 @@ def _lane_pad(x, d_pad):
     )
 
 
+def _tdot(a, b):
+    """[K, M] x [K, N] -> [M, N]: MXU contraction over the SUBLANE axis of
+    both operands (no transposes materialized)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: int):
-    def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest):
+    """Forward kernel. The folded input arrives FEATURE-SUBLANE-MAJOR
+    ([T, Dp, N] blocks, Dp = D rounded up to the sublane tile): with D on
+    the minor (lane) axis XLA's tiled layout physically pads 34 lanes to
+    128 — a 3.8x HBM inflation of the largest tensor in the serving
+    program (docs/PERFORMANCE.md "Input-layout facts"); with D on the
+    sublane axis the pad is 34 -> 48 (1.4x) and the per-step input block
+    DMA shrinks 128/48 = 2.7x. The layer-1 input product becomes a
+    sublane-contracting dot_general (same MXU path the backward's
+    weight-grad accumulation uses); the h products keep their combined
+    row-major form."""
+    def _kernel(x_ref, w1x_ref, u1_ref, b1_ref, w2_ref, b2_ref, *rest):
         if fused_fc:
             fcw_ref, fcb_ref, out_ref, h1, c1, h2, c2 = rest
         else:
@@ -121,17 +155,14 @@ def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: in
         # ranges and lose to Pallas's own double buffering. `sub_tiles`
         # splits the row tile into independent chains so the scheduler can
         # overlap one chain's VPU cell math with another's MXU matmuls.
-        mm = w1_ref.dtype
+        mm = w1x_ref.dtype
         for k in range(steps_per_block):
             for s in range(sub_tiles):
                 rows = pl.ds(s * sub, sub)
                 gates1 = (
-                    jnp.dot(
-                        jnp.concatenate(
-                            [_lane_pad(x_ref[k, rows, :], d_pad),
-                             h1[rows, :].astype(mm)], axis=-1
-                        ),
-                        w1_ref[:],
+                    _tdot(x_ref[k, :, rows], w1x_ref[:])
+                    + jnp.dot(
+                        h1[rows, :].astype(mm), u1_ref[:],
                         preferred_element_type=jnp.float32,
                     )
                     + b1_ref[0].astype(jnp.float32)
@@ -166,6 +197,27 @@ def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: in
     return _kernel
 
 
+def _sublane_pad(d: int, dtype) -> int:
+    """Feature-dim padding for the sublane-major [T, Dp, N] input layout:
+    round D up to the dtype's sublane tile so the HBM array's physical
+    layout is exact (bf16 tiles 16 sublanes, fp32 tiles 8)."""
+    tile = 16 if jnp.dtype(dtype).itemsize == 2 else SUBLANE
+    return -d % tile
+
+
+def _feature_major(x, d_pad, n_pad):
+    """[N, D, T] -> [T, D + d_pad, N + n_pad] (zero-padded).
+
+    This is THE layout fix for the serving program's memory: with D = 34 on
+    the minor (lane) axis XLA pads it physically to 128 (3.8x inflation of
+    the largest tensor, and the single-neighbor unfold operands were
+    padded 1 -> 128 lanes, a 128x blowup — measured in the batch-96 OOM
+    dump). Feature-sublane-major keeps the lanes dense (N is a multiple of
+    the tile) and pads only 34 -> 48 sublanes."""
+    x_tm = jnp.transpose(x, (2, 1, 0))
+    return jnp.pad(x_tm, ((0, 0), (0, d_pad), (0, n_pad)))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "steps_per_block", "sub_tiles", "interpret"))
 def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int = 1,
                   sub_tiles: int = 1, interpret: bool = False):
@@ -173,44 +225,45 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
 
     params: nn/lstm.py layout ({"layers": [{w_ih, w_hh, b_ih, b_hh} x2]}).
     fc: optional {"weight": [H, O], "bias": [O]} fused output projection.
-    x: [N, T, D] -> [N, T, H] (or [N, T, O] when fc is given).
+    x: [N, D, T] (the model's native channel-major fold layout —
+    fullsubnet_plus.py:254 reshapes straight to it) -> [N, T, H]
+    (or [N, T, O] when fc is given).
     """
     l1, l2 = params["layers"]
-    n, t, d = x.shape
+    n, d, t = x.shape
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
 
     # Shrink the row tile for small folds (e.g. the full-band LSTM of the
     # FullSubNet baseline runs at N = batch) so padding stays bounded.
-    tile_n = min(tile_n, max(SUBLANE, -(-n // SUBLANE) * SUBLANE))
+    tile_n = min(tile_n, max(LANE, -(-n // LANE) * LANE))
 
-    d_pad = -d % LANE
+    d_pad = _sublane_pad(d, dtype)
     n_pad = -n % tile_n
     t_pad = -t % steps_per_block
-    # Time-major [T, N, D] blocks; the minor dim stays UNPADDED in HBM (the
-    # kernel zero-extends it in VMEM via _lane_pad), so the folded input's
-    # footprint/bandwidth is 34-wide, not 128-wide.
-    x_tm = jnp.swapaxes(x, 0, 1)
-    x_tm = jnp.pad(x_tm, ((0, t_pad), (0, n_pad), (0, 0)))
+    x_tm = _feature_major(x, d_pad, n_pad)
+    if t_pad:
+        x_tm = jnp.pad(x_tm, ((0, t_pad), (0, 0), (0, 0)))
     n_total = n + n_pad
     d_total = d + d_pad
     t_total = t + t_pad
 
-    w1, b1, w2, b2 = _combined_weights(params, dtype, d_pad)
+    w1x, u1, b1, w2, b2 = _split_weights(params, dtype, d_pad)
 
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     grid = (n_total // tile_n, t_total // steps_per_block)
     in_specs = [
-        pl.BlockSpec((steps_per_block, tile_n, d), lambda i, s: (s, i, 0),
+        pl.BlockSpec((steps_per_block, d_total, tile_n), lambda i, s: (s, 0, i),
                      memory_space=pltpu.VMEM),
-        resident((d_total + hidden, 4 * hidden)),
+        resident((d_total, 4 * hidden)),
+        resident((hidden, 4 * hidden)),
         resident((1, 4 * hidden)),
         resident((2 * hidden, 4 * hidden)),
         resident((1, 4 * hidden)),
     ]
-    args = [x_tm, w1, b1, w2, b2]
+    args = [x_tm, w1x, u1, b1, w2, b2]
     if fc is not None:
         out_dim = fc["weight"].shape[-1]
         args += [fc["weight"].astype(dtype),
@@ -511,10 +564,11 @@ def _eff_tile(n: int, dtype, tile_n: int) -> int:
 def stacked_lstm2_train(params, x, fc, tile_n: int = 256, interpret: bool = False):
     """Differentiable fused 2-layer LSTM + output projection.
 
-    Same primal as `stacked_lstm2(params, x, fc)`; under jax.grad the
-    residual-saving forward and the reverse-sweep backward kernels run
-    instead of autodiff-of-scan. fc is required (the sub-band model always
-    projects; fullsubnet_plus.py:205 / sequence_model.py:113-123).
+    Same primal as `stacked_lstm2(params, x, fc)` (x channel-major
+    [N, D, T]); under jax.grad the residual-saving forward and the
+    reverse-sweep backward kernels run instead of autodiff-of-scan. fc is
+    required (the sub-band model always projects; fullsubnet_plus.py:205 /
+    sequence_model.py:113-123).
     """
     return _stacked_lstm2_train(params, x, fc, tile_n, interpret)
 
@@ -525,14 +579,14 @@ def _stacked_lstm2_train(params, x, fc, tile_n, interpret):
 
 
 def _train_fwd(params, x, fc, tile_n, interpret):
-    n, t, d = x.shape
+    n, d, t = x.shape  # channel-major input; kernel blocks stay [T, N, D]
     l1, _ = params["layers"]
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
     tile = _eff_tile(n, dtype, tile_n)
     d_pad = -d % LANE
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, 0)))
+    x_tm = jnp.pad(jnp.transpose(x, (2, 0, 1)), ((0, 0), (0, n_pad), (0, 0)))
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
 
@@ -586,17 +640,23 @@ def _train_fwd(params, x, fc, tile_n, interpret):
 # Trace-time toggle: False restores the dgates-materializing einsum path.
 FUSED_WGRAD = True
 
+# Backward row tile for the fused-wgrad sweep. None = the default rule
+# (halve the forward tile so the fp32 accumulators fit scoped VMEM —
+# measured 17.04 M > 16 M at 256). A trace-time experiment knob: probed
+# 192 on-chip (fits VMEM, n_total=4608 divides) — see docs/PERFORMANCE.md.
+BWD_ROW_TILE = None
+
 
 def _train_bwd(tile_n, interpret, residuals, dy):
     params, x, fc, g1, c1, h1, g2, c2, h2 = residuals
-    n, t, d = x.shape
+    n, d, t = x.shape  # channel-major input; kernel blocks stay [T, N, D]
     l1, l2 = params["layers"]
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
     tile = _eff_tile(n, dtype, tile_n)
     d_pad = -d % LANE
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, 0)))
+    x_tm = jnp.pad(jnp.transpose(x, (2, 0, 1)), ((0, 0), (0, n_pad), (0, 0)))
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
     dy_tm = jnp.pad(
@@ -631,6 +691,8 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         # the residual shapes are untouched and btile always divides
         # n_total.
         btile = tile if tile <= 128 else tile // 2
+        if BWD_ROW_TILE and n_total % BWD_ROW_TILE == 0:
+            btile = BWD_ROW_TILE
         rev_b = lambda width: pl.BlockSpec(
             (1, btile, width), lambda i, s: (t - 1 - s, i, 0),
             memory_space=pltpu.VMEM,
@@ -757,7 +819,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         "weight": cast(ein("tnh,tno->ho", h2, dy_tm), fc["weight"]),
         "bias": cast(ein("tno->o", dy_tm), fc["bias"]),
     }
-    dx = cast(jnp.swapaxes(dx_tm, 0, 1)[:n], x)
+    dx = cast(jnp.transpose(dx_tm, (1, 2, 0))[:n], x)  # back to [N, D, T]
     return dparams, dx, dfc
 
 
@@ -876,7 +938,7 @@ def _make_quant_kernel():
             return jnp.clip(jnp.round(h * H_QUANT_SCALE), -127, 127).astype(jnp.int8)
 
         gates1 = (
-            jnp.dot(x_ref[0], w1x_ref[:], preferred_element_type=f32)
+            _tdot(x_ref[0], w1x_ref[:])
             + jnp.dot(h1[:], u1_ref[:], preferred_element_type=jnp.int32).astype(f32)
             * s1_ref[0].astype(f32)
             + b1_ref[0].astype(f32)
@@ -911,20 +973,24 @@ def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
                             interpret: bool = False):
     """int8-recurrent 2-layer LSTM + fused output projection (serving only).
 
-    Same signature/contract as stacked_lstm2(params, x, fc); weights are
-    quantized per call (trivial vs the sweep). Forward-only — do not
-    differentiate through it.
+    Same signature/contract as stacked_lstm2(params, x, fc) — x arrives
+    channel-major [N, D, T] and runs through the feature-sublane-major
+    [T, Dp, N] block layout (see _feature_major). Weights are quantized
+    per call (trivial vs the sweep). Forward-only — do not differentiate
+    through it.
     """
     l1, l2 = params["layers"]
-    n, t, d = x.shape
+    n, d, t = x.shape
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
-    tile_n = min(tile_n, max(SUBLANE, -(-n // SUBLANE) * SUBLANE))
+    tile_n = min(tile_n, max(LANE, -(-n // LANE) * LANE))
     n_pad = -n % tile_n
-    x_tm = jnp.pad(jnp.swapaxes(x, 0, 1), ((0, 0), (0, n_pad), (0, 0)))
+    d_pad = _sublane_pad(d, dtype)
+    d_total = d + d_pad
+    x_tm = _feature_major(x, d_pad, n_pad)
     n_total = n + n_pad
 
-    w1x = l1["w_ih"].astype(dtype)
+    w1x = jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0)))
     b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(jnp.float32)
     b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(jnp.float32)
     u1q, s1 = _quantize_per_column(l1["w_hh"])
@@ -940,9 +1006,9 @@ def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
         _make_quant_kernel(),
         grid=(n_total // tile_n, t),
         in_specs=[
-            pl.BlockSpec((1, tile_n, d), lambda i, s: (s, i, 0),
+            pl.BlockSpec((1, d_total, tile_n), lambda i, s: (s, 0, i),
                          memory_space=pltpu.VMEM),
-            resident((d, 4 * hidden)),
+            resident((d_total, 4 * hidden)),
             resident((hidden, 4 * hidden)),
             resident((1, 4 * hidden)),
             resident((1, 4 * hidden)),

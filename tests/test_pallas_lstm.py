@@ -1,5 +1,8 @@
 """Pallas fused-LSTM kernel parity vs the lax.scan path (interpret mode on
-CPU; the same kernel compiles on TPU — verified in bench runs)."""
+CPU; the same kernel compiles on TPU — verified in bench runs).
+
+The kernels take x CHANNEL-MAJOR [N, D, T] (the model's native fold layout);
+the scan reference takes [N, T, D], hence the swapaxes at each call."""
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +18,7 @@ def test_pallas_matches_scan(rng, n, t, d, h, tile):
     params = lstm_init(jax.random.PRNGKey(0), d, h, 2)
     x = (rng.standard_normal((n, t, d)) * 0.5).astype(np.float32)
     ref, _ = lstm_apply(params, jnp.asarray(x))
-    out = stacked_lstm2(params, jnp.asarray(x), tile_n=tile, interpret=True)
+    out = stacked_lstm2(params, jnp.swapaxes(jnp.asarray(x), 1, 2), tile_n=tile, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
@@ -29,7 +32,7 @@ def test_pallas_fused_fc(rng):
     x = (rng.standard_normal((100, 17, 34)) * 0.5).astype(np.float32)
     hid, _ = lstm_apply(params, jnp.asarray(x))
     ref = hid @ fc["weight"] + fc["bias"]
-    out = stacked_lstm2(params, jnp.asarray(x), fc, tile_n=64, interpret=True)
+    out = stacked_lstm2(params, jnp.swapaxes(jnp.asarray(x), 1, 2), fc, tile_n=64, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
@@ -40,7 +43,7 @@ def test_pallas_small_fold_tile_shrink(rng):
     params = lstm_init(jax.random.PRNGKey(5), 20, 32, 2)
     x = (rng.standard_normal((6, 9, 20)) * 0.5).astype(np.float32)
     ref, _ = lstm_apply(params, jnp.asarray(x))
-    out = stacked_lstm2(params, jnp.asarray(x), tile_n=256, interpret=True)
+    out = stacked_lstm2(params, jnp.swapaxes(jnp.asarray(x), 1, 2), tile_n=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
@@ -67,7 +70,9 @@ def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
         return jnp.sum((hid @ fc["weight"] + fc["bias"]) * dy)
 
     def loss_pallas(params, x, fc):
-        return jnp.sum(stacked_lstm2_train(params, x, fc, tile, True) * dy)
+        return jnp.sum(
+            stacked_lstm2_train(params, jnp.swapaxes(x, 1, 2), fc, tile, True) * dy
+        )
 
     with jax.default_matmul_precision("highest"):
         v0, g0 = jax.value_and_grad(loss_scan, argnums=(0, 1, 2))(params, x, fc)
@@ -90,7 +95,9 @@ def test_pallas_train_vjp_einsum_fallback(rng, monkeypatch):
     dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
 
     def loss(params, x, fc):
-        return jnp.sum(lp.stacked_lstm2_train(params, x, fc, 32, True) * dy)
+        return jnp.sum(
+            lp.stacked_lstm2_train(params, jnp.swapaxes(x, 1, 2), fc, 32, True) * dy
+        )
 
     with jax.default_matmul_precision("highest"):
         g_fused = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
@@ -118,7 +125,7 @@ def test_pallas_train_vjp_bf16(rng):
     )
 
     def loss(params, x, fc):
-        y = stacked_lstm2_train(params, x, fc, 256, True)
+        y = stacked_lstm2_train(params, jnp.swapaxes(x, 1, 2), fc, 256, True)
         return jnp.sum(y.astype(jnp.float32) * dy)
 
     with jax.default_matmul_precision("highest"):
@@ -154,7 +161,9 @@ def test_pallas_sharded_fold_matches_scan_grads(rng):
         return jnp.sum((hid @ fc["weight"] + fc["bias"]) * dy)
 
     def loss_sharded(params, x, fc):
-        y = stacked_lstm2_train_sharded(params, x, fc, ("data", "freq"), 8, True)
+        y = stacked_lstm2_train_sharded(
+            params, jnp.swapaxes(x, 1, 2), fc, ("data", "freq"), 8, True
+        )
         return jnp.sum(y * dy)
 
     mesh = make_mesh(data=4, freq=2)
@@ -178,8 +187,9 @@ def test_pallas_train_primal_matches_inference_kernel(rng):
     params = lstm_init(jax.random.PRNGKey(8), 12, 32, 2)
     fc = linear_init(jax.random.PRNGKey(9), 32, 2)
     x = jnp.asarray((rng.standard_normal((24, 7, 12)) * 0.5).astype(np.float32))
-    a = stacked_lstm2(params, x, fc, tile_n=32, interpret=True)
-    b = stacked_lstm2_train(params, x, fc, 32, True)
+    xc = jnp.swapaxes(x, 1, 2)
+    a = stacked_lstm2(params, xc, fc, tile_n=32, interpret=True)
+    b = stacked_lstm2_train(params, xc, fc, 32, True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0, rtol=0)
 
 
@@ -188,7 +198,7 @@ def test_pallas_sub_tiles(rng):
     x = (rng.standard_normal((64, 13, 34)) * 0.5).astype(np.float32)
     ref, _ = lstm_apply(params, jnp.asarray(x))
     out = stacked_lstm2(
-        params, jnp.asarray(x), tile_n=64, sub_tiles=2, interpret=True
+        params, jnp.swapaxes(jnp.asarray(x), 1, 2), tile_n=64, sub_tiles=2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
@@ -198,7 +208,7 @@ def test_pallas_steps_per_block(rng):
     x = (rng.standard_normal((40, 11, 16)) * 0.5).astype(np.float32)  # 11 % 4 != 0
     ref, _ = lstm_apply(params, jnp.asarray(x))
     out = stacked_lstm2(
-        params, jnp.asarray(x), tile_n=40, steps_per_block=4, interpret=True
+        params, jnp.swapaxes(jnp.asarray(x), 1, 2), tile_n=40, steps_per_block=4, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
@@ -216,7 +226,7 @@ def test_pallas_quantized_kernel_snr(rng):
     x = jnp.asarray((rng.standard_normal((64, 21, 34)) * 0.5).astype(np.float32))
     hid, _ = lstm_apply(params, x)
     ref = np.asarray(hid @ fc["weight"] + fc["bias"])
-    out = np.asarray(stacked_lstm2_quantized(params, x, fc, 64, True))
+    out = np.asarray(stacked_lstm2_quantized(params, jnp.swapaxes(x, 1, 2), fc, 64, True))
     assert out.shape == ref.shape and np.isfinite(out).all()
     snr = 10 * np.log10((ref**2).sum() / (((ref - out) ** 2).sum() + 1e-20))
     assert snr > 30.0, f"quantized kernel SNR {snr:.1f} dB"
@@ -234,6 +244,7 @@ def test_pallas_quantized_sharded_fallback(rng):
     params = lstm_init(jax.random.PRNGKey(13), 12, 32, 2)
     fc = linear_init(jax.random.PRNGKey(14), 32, 2)
     x = jnp.asarray((rng.standard_normal((24, 7, 12)) * 0.5).astype(np.float32))
-    a = stacked_lstm2_quantized(params, x, fc, 32, True)
-    b = stacked_lstm2_quantized_sharded(params, x, fc, ("data",), 32, True)
+    xc = jnp.swapaxes(x, 1, 2)
+    a = stacked_lstm2_quantized(params, xc, fc, 32, True)
+    b = stacked_lstm2_quantized_sharded(params, xc, fc, ("data",), 32, True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0, rtol=0)
