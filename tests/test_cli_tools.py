@@ -159,3 +159,31 @@ def test_dns_mos_requires_key():
 
     with pytest.raises(SystemExit):
         dns_mos.main(["--help"])  # argparse help exits 0
+
+
+def test_bench_timed_rounds_discipline():
+    """bench._timed_rounds: N independently timed regions, every iteration's
+    tap forced inside its round's clock (the r4 noise-proof headline
+    methodology — min over rounds, spread reported)."""
+    import types
+
+    import bench
+
+    calls, forced = [], []
+
+    class Tap:
+        def __float__(self):
+            forced.append(1)
+            return 0.0
+
+    def run(step):  # queue-ahead: taps are forced after the dispatch loop
+        calls.append(step)
+        return Tap()
+
+    args = types.SimpleNamespace(rounds=3, iters=4, warmup=2,
+                                 sync_every_iter=False)
+    elapsed = bench._timed_rounds(run, args)
+    assert len(elapsed) == 3 and all(e >= 0 for e in elapsed)
+    # 3 rounds x 4 iters, step indices continue across rounds from warmup
+    assert calls == list(range(2, 14))
+    assert len(forced) == 12  # every tap's completion forced

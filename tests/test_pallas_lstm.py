@@ -82,6 +82,35 @@ def test_pallas_train_vjp_matches_scan_grads(rng, n, t, d, h, o, tile):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_train_vjp_bwd_row_tile_knob(rng, monkeypatch):
+    """BWD_ROW_TILE (the perf-experiment knob, scripts/exp_btile.py) changes
+    only the backward grid tiling — gradients must match the default rule
+    exactly. Uses a knob value that divides the padded fold but differs
+    from the halving rule's choice."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops import lstm_pallas as lp
+
+    n, t, d, h, o = 48, 7, 12, 16, 2
+    params = lstm_init(jax.random.PRNGKey(30), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(31), h, o)
+    x = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+
+    def loss(params, x, fc):
+        return jnp.sum(
+            lp.stacked_lstm2_train(params, jnp.swapaxes(x, 1, 2), fc, 48, True) * dy
+        )
+
+    with jax.default_matmul_precision("highest"):
+        g_default = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+        monkeypatch.setattr(lp, "BWD_ROW_TILE", 16)
+        g_knob = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+    for a, b in zip(jax.tree_util.tree_leaves(g_default),
+                    jax.tree_util.tree_leaves(g_knob)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_pallas_train_vjp_einsum_fallback(rng, monkeypatch):
     """FUSED_WGRAD=False restores the dgates-materializing einsum weight
     grads; both paths must produce the same gradients."""
