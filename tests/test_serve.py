@@ -390,3 +390,88 @@ def test_bad_client_does_not_kill_server():
         np.testing.assert_allclose(results[0], offline, atol=1e-6)
     finally:
         server.stop()
+
+
+def test_serve_cli_daemon_end_to_end(tmp_path):
+    """The full `cli.serve` argv surface as a user runs it — config + npz
+    checkpoint -> daemon under `--supervise 1` -> TCP client streams audio
+    and gets the full-length enhanced waveform back. (The in-process tests
+    above cover the engine/server objects; this pins main(): config/mode
+    resolution, checkpoint load, warmup, supervisor wrapper.)"""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    import jax as _jax
+    from fullsubnet_plus_tpu.io.checkpoint import save_pytree
+    from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
+
+    params = FULLSUBNET_PLUS.init(_jax.random.PRNGKey(0), SMALL)
+    ckpt = tmp_path / "model.npz"
+    save_pytree(str(ckpt), {"params": params}, {"epoch": 0})
+    cfg = tmp_path / "serve.toml"
+    cfg.write_text("""
+[acoustics]
+n_fft = 64
+win_length = 64
+sr = 1000
+hop_length = 32
+
+[inferencer]
+type = "mag_complex_full_band_crm_mask"
+[inferencer.args]
+n_neighbor = 4
+
+[model]
+path = "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus"
+[model.args]
+sb_num_neighbors = 4
+fb_num_neighbors = 0
+num_freqs = 33
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+channel_attention_model = "TSSE"
+fb_model_hidden_size = 16
+sb_model_hidden_size = 16
+weight_init = false
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+kersize = [3, 5, 10]
+subband_num = 1
+""")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    child = subprocess.Popen(
+        [sys.executable, "-m", "fullsubnet_plus_tpu.cli.serve",
+         "-C", str(cfg), "-M", str(ckpt), "--port", "0",
+         "--dtype", "float32", "--tick", "0.02", "--supervise", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        port, deadline = None, time.monotonic() + 180
+        while port is None and time.monotonic() < deadline:
+            line = child.stdout.readline()
+            if not line:
+                time.sleep(0.1)
+                continue
+            m = re.search(r"listening on :(\d+)", line)
+            if m:
+                port = int(m.group(1))
+        assert port, "daemon never reported its port"
+        y = _utt(9000, 60)
+        results = {}
+        _client(port, y, results, 0)
+        assert results[0].shape == y.shape
+        assert np.isfinite(results[0]).all()
+    finally:
+        child.terminate()  # exact pid only (CLAUDE.md kill discipline)
+        try:
+            child.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
