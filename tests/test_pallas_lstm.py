@@ -261,6 +261,41 @@ def test_pallas_quantized_kernel_snr(rng):
     assert snr > 30.0, f"quantized kernel SNR {snr:.1f} dB"
 
 
+def test_pallas_quantized_sharded_mesh_matches(rng):
+    """int8 serving kernel under shard_map on the virtual 8-device mesh:
+    each shard sweeps its own fold rows with the SAME replicated quantized
+    weights, so the output must match the unsharded kernel (the sharded
+    serving config the multi-chip dryrun certifies, int8 flavor)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import (
+        stacked_lstm2_quantized,
+        stacked_lstm2_quantized_sharded,
+    )
+    from fullsubnet_plus_tpu.parallel import make_mesh
+
+    n, t, d, h, o = 32, 7, 10, 16, 2
+    params = lstm_init(jax.random.PRNGKey(15), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(16), h, o)
+    x = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    xc = jnp.swapaxes(x, 1, 2)
+    ref = stacked_lstm2_quantized(params, xc, fc, 8, True)
+
+    mesh = make_mesh(data=4, freq=2)
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(
+            xc, NamedSharding(mesh, P(("data", "freq"), None, None))
+        )
+        out = jax.jit(
+            lambda p, xx, f: stacked_lstm2_quantized_sharded(
+                p, xx, f, ("data", "freq"), 8, True
+            )
+        )(params, xs, fc)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_pallas_quantized_sharded_fallback(rng):
     """Without an ambient mesh the sharded wrapper must fall through to the
     plain quantized kernel bit-identically."""
