@@ -2,7 +2,8 @@
 
     python -m fullsubnet_plus_tpu.cli.serve -C config/inference.toml \
         -M checkpoint(.npz|.tar|.pth) [--port 7860] [--slots 8] \
-        [--dtype int8] [--chunk-seconds 4] [--tick 0.1]
+        [--dtype int8] [--chunk-seconds 4] [--tick 0.1] \
+        [--max-tick-failures 5] [--stall-timeout 300] [--supervise N]
 
 No reference counterpart (its closest surface is the offline
 overlapped_chunk loop, inferencer.py:191-250) — this is the serving story
