@@ -4,6 +4,7 @@
         -M checkpoint(.npz|.tar|.pth) [--port 7860] [--slots 8] \
         [--dtype int8] [--chunk-seconds 4] [--tick 0.1] \
         [--max-tick-failures 5] [--stall-timeout 300] [--supervise N]
+    python -m fullsubnet_plus_tpu.cli.serve --stats [--host H --port P]
 
 No reference counterpart (its closest surface is the offline
 overlapped_chunk loop, inferencer.py:191-250) — this is the serving story
@@ -22,6 +23,12 @@ len][payload]`):
   server -> client:  raw float32 PCM frames of enhanced audio as chunks
                      complete; empty frame after the last sample, then EOF.
 
+Observability: a header of {"stats": true} instead returns ONE JSON frame
+of serving stats (active/completed/aborted streams, chunks and audio
+seconds enhanced, busy-tick latency p50/p90/p99, tick failure totals) and
+the completion frame — `python -m fullsubnet_plus_tpu.cli.serve --stats
+[--host H --port P]` is the bundled query client.
+
 A ~2 s added latency is inherent to the 4 s/50 % chunk geometry (audio must
 arrive before it can be enhanced); the compute adds only the tick wall
 (42-181 ms p50-p99 measured, docs/PERFORMANCE.md).
@@ -30,6 +37,7 @@ arrive before it can be enhanced); the compute adds only the tick wall
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import socket
 import struct
@@ -114,6 +122,14 @@ class StreamServer:
         self._conns: dict[int, socket.socket] = {}  # sid -> client conn
         self._stop = threading.Event()
         self._last_tick = time.monotonic()
+        # Stats surface (`{"stats": true}` header, see module docstring):
+        # lifetime totals plus a rolling window of BUSY-tick engine
+        # latencies (ticks that dispatched at least one chunk — idle ticks
+        # would drown the percentiles in no-op timings).
+        self._t_start = time.monotonic()
+        self.ticks_total = 0
+        self.tick_failures_total = 0
+        self._busy_tick_s = collections.deque(maxlen=512)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -180,6 +196,41 @@ class StreamServer:
         if conns:
             self.log(f"[serve] aborted {len(conns)} client stream(s)")
 
+    # -- observability ------------------------------------------------------
+
+    def stats(self) -> dict:
+        """Point-in-time serving stats (JSON-serializable). Served to any
+        client whose header frame is `{"stats": true}` — production
+        observability for a daemon whose only other surface is the log
+        (the trainer's equivalent is the TB event stream)."""
+        with self._lock:
+            e = self.engine
+            lat = sorted(self._busy_tick_s)
+            pct = lambda p: (
+                round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1000, 2)
+                if lat else None
+            )
+            return {
+                "uptime_s": round(time.monotonic() - self._t_start, 1),
+                "active_streams": len(self._conns),
+                "slots": e.slots,
+                "chunk_samples": e.chunk,
+                "mode": e.mode,
+                "pipeline_depth": e.pipeline_depth,
+                "streams_opened": e.streams_opened,
+                "streams_completed": e.streams_completed,
+                "streams_aborted": e.streams_aborted,
+                "streams_failed": e.streams_failed,
+                "chunks_enhanced": e.chunks_enhanced,
+                "audio_seconds_out": round(e.samples_out / e.enhancer.sr, 1),
+                "ticks": self.ticks_total,
+                "tick_failures": self.tick_failures_total,
+                "busy_tick_ms": {
+                    "p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99),
+                    "window": len(lat),
+                },
+            }
+
     # -- internals ----------------------------------------------------------
 
     def _accept_loop(self) -> None:
@@ -199,6 +250,13 @@ class StreamServer:
                 conn.close()
                 return
             meta = json.loads(header.decode() or "{}")
+            if meta.get("stats"):
+                # Observability request: one JSON frame, then the normal
+                # completion frame. No engine stream is opened.
+                _send_frame(conn, json.dumps(self.stats()).encode())
+                _send_frame(conn, b"")
+                conn.close()
+                return
             with self._lock:
                 sid = self.engine.open()
                 self._conns[sid] = conn
@@ -232,7 +290,9 @@ class StreamServer:
             aborted, finished, error = [], [], None
             try:
                 with self._lock:
-                    self.engine.tick()
+                    n_work = self.engine.tick()
+                    if n_work:
+                        self._busy_tick_s.append(time.perf_counter() - t0)
                     for sid, conn in list(self._conns.items()):
                         if self.engine.is_failed(sid):
                             # device fetch for this stream died (engine
@@ -257,8 +317,10 @@ class StreamServer:
             # poisoned backend that will fail every later transfer: exit
             # for a supervisor restart instead of spinning while streams
             # silently stall (r3 verdict #4).
+            self.ticks_total += 1
             if error is not None or aborted:
                 failures += 1
+                self.tick_failures_total += 1
                 why = repr(error) if error is not None else "stream fetch died"
                 self.log(f"[serve] tick failure "
                          f"({failures}/{self.max_tick_failures}): {why}")
@@ -356,6 +418,18 @@ def build_engine(config: dict, checkpoint_path: str, slots: int,
     )
 
 
+def query_stats(host: str, port: int, timeout: float = 10.0) -> dict:
+    """Fetch a running daemon's stats over the normal wire protocol
+    (header `{"stats": true}` -> one JSON frame -> completion frame)."""
+    conn = socket.create_connection((host, port), timeout=timeout)
+    try:
+        _send_frame(conn, json.dumps({"stats": True}).encode())
+        frame = _recv_frame(conn)
+        return json.loads(frame.decode()) if frame else {}
+    finally:
+        conn.close()
+
+
 def supervise_serve(child_argv, max_restarts: int = 3, log=print,
                     launcher=None) -> int:
     """Serving counterpart of train/supervisor.py: relaunch the daemon while
@@ -387,8 +461,12 @@ def supervise_serve(child_argv, max_restarts: int = 3, log=print,
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("-C", "--configuration", required=True)
-    parser.add_argument("-M", "--checkpoint", required=True)
+    parser.add_argument("-C", "--configuration")
+    parser.add_argument("-M", "--checkpoint")
+    parser.add_argument("--stats", action="store_true",
+                        help="query a RUNNING daemon at --host/--port, "
+                             "print its stats JSON, and exit (no -C/-M "
+                             "needed)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--slots", type=int, default=8,
@@ -422,6 +500,12 @@ def main(argv=None) -> None:
                              "see EOF without the completion frame and must "
                              "reconnect)")
     args = parser.parse_args(argv)
+    if args.stats:
+        print(json.dumps(query_stats(args.host, args.port)))
+        return
+    if args.configuration is None or args.checkpoint is None:
+        parser.error("-C/--configuration and -M/--checkpoint are required "
+                     "(unless --stats)")
     if args.supervise is not None:
         child_argv = list(argv) if argv is not None else sys.argv[1:]
         for i, a in enumerate(child_argv):

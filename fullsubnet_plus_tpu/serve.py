@@ -84,6 +84,14 @@ class StreamingEngine:
         self._base = getattr(enhancer, mode)
         self._streams: dict[int, _Stream] = {}
         self._next_id = 0
+        # Lifetime counters for the daemon's stats surface (cli/serve.py):
+        # cheap monotonic totals, never reset.
+        self.streams_opened = 0
+        self.streams_completed = 0
+        self.streams_aborted = 0
+        self.streams_failed = 0
+        self.chunks_enhanced = 0
+        self.samples_out = 0
         # pipeline_depth > 0: dispatches are queued (device arrays, not
         # fetched) and collected when ready or when the window overflows —
         # H2D/compute/D2H overlap across ticks exactly as bench.py
@@ -110,6 +118,7 @@ class StreamingEngine:
         sid = self._next_id
         self._next_id += 1
         self._streams[sid] = _Stream()
+        self.streams_opened += 1
         return sid
 
     def feed(self, sid: int, samples: np.ndarray) -> None:
@@ -140,6 +149,7 @@ class StreamingEngine:
             s.closed = True
             s.done = True
             s.out = []
+            self.streams_aborted += 1
 
     def pull(self, sid: int) -> np.ndarray:
         """Drain enhanced audio produced so far (FIFO; may be empty). A
@@ -213,6 +223,7 @@ class StreamingEngine:
             s.out.append(tmp[:n] + s.prev_half[:n])
             s.prev_half = enhanced[self.hop :]
         s.emitted_chunks += 1
+        self.samples_out += len(s.out[-1])
 
     def tick(self) -> int:
         """Dispatch one ready chunk from every stream that has one (batched
@@ -278,10 +289,12 @@ class StreamingEngine:
                 s.failed = True
                 s.done = True
                 s.out = []
+                self.streams_failed += 1
             raise
         for j, (s, true_len) in enumerate(refs):
             self._emit(s, arr[j, self.PRE_CONTEXT : true_len])
             s.inflight -= 1
+            self.chunks_enhanced += 1
             if (s.closed and s.inflight == 0
                     and self._ready_chunk(s) is None):
                 self._finish(s)
@@ -293,6 +306,7 @@ class StreamingEngine:
         the same (`enhanced_audio[:, :num_samples]`, inferencer.py:243)."""
         s.prev_half = None
         s.done = True
+        self.streams_completed += 1
 
     def drain(self) -> None:
         """Tick until no stream has work left (offline completion)."""

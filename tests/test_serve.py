@@ -475,3 +475,53 @@ subband_num = 1
         except subprocess.TimeoutExpired:
             child.kill()
             child.wait()
+
+
+def test_stats_surface():
+    """The daemon's observability surface: a `{"stats": true}` header
+    returns one JSON frame of serving stats over the normal wire protocol
+    (cli/serve.py StreamServer.stats / query_stats), without opening an
+    engine stream. Counters must reflect real traffic: after two streamed
+    utterances, opened == completed == 2, chunks/audio totals are positive,
+    and the busy-tick latency window is populated."""
+    from fullsubnet_plus_tpu.cli.serve import query_stats
+
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    server.start()
+    try:
+        # Stats before traffic: zeroed, no stream opened by the query.
+        s0 = query_stats("127.0.0.1", server.port)
+        assert s0["streams_opened"] == 0 and s0["active_streams"] == 0
+        assert s0["slots"] == 8 and s0["chunk_samples"] == 4000
+        assert s0["mode"] in Enhancer.LENGTH_AWARE_MODES
+
+        utts = [_utt(9000, 30), _utt(6500, 31)]
+        results = {}
+        threads = [
+            threading.Thread(target=_client,
+                             args=(server.port, utts[i], results, i))
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert sorted(results) == [0, 1]
+
+        s1 = query_stats("127.0.0.1", server.port)
+        assert s1["streams_opened"] == 2
+        assert s1["streams_completed"] == 2
+        assert s1["streams_aborted"] == 0 and s1["streams_failed"] == 0
+        assert s1["active_streams"] == 0
+        assert s1["chunks_enhanced"] >= 2 * 3  # ceil(9000/2000), ceil(6500/2000)
+        expected_s = (len(utts[0]) + len(utts[1])) / e.sr
+        assert abs(s1["audio_seconds_out"] - round(expected_s, 1)) <= 0.2
+        assert s1["ticks"] > 0 and s1["tick_failures"] == 0
+        assert s1["busy_tick_ms"]["window"] > 0
+        assert s1["busy_tick_ms"]["p50"] is not None
+        assert s1["busy_tick_ms"]["p99"] >= s1["busy_tick_ms"]["p50"]
+    finally:
+        server.stop()
