@@ -5,6 +5,7 @@
         [--dtype int8] [--chunk-seconds 4] [--tick 0.1] \
         [--max-tick-failures 5] [--stall-timeout 300] [--supervise N]
     python -m fullsubnet_plus_tpu.cli.serve --stats [--host H --port P]
+    python -m fullsubnet_plus_tpu.cli.serve --reload CKPT [--host H --port P]
 
 No reference counterpart (its closest surface is the offline
 overlapped_chunk loop, inferencer.py:191-250) — this is the serving story
@@ -28,6 +29,14 @@ of serving stats (active/completed/aborted streams, chunks and audio
 seconds enhanced, busy-tick latency p50/p90/p99, tick failure totals) and
 the completion frame — `python -m fullsubnet_plus_tpu.cli.serve --stats
 [--host H --port P]` is the bundled query client.
+
+Zero-downtime model update: a header of {"reload": "<ckpt-path>"} makes
+the daemon build and warm a NEW program for that checkpoint in the
+requesting client's thread (serving continues on the old model throughout
+— minutes on a cold remote backend), then atomically hot-swap it. Live
+streams keep flowing and pick up the new model from their next chunk, the
+Hann cross-fade smoothing the seam. `--reload CKPT` is the bundled client;
+the ack frame reports warmup seconds and live streams kept.
 
 A ~2 s added latency is inherent to the 4 s/50 % chunk geometry (audio must
 arrive before it can be enhanced); the compute adds only the tick wall
@@ -111,12 +120,21 @@ class StreamServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 7860,
                  tick_interval: float = 0.1, log=print,
-                 max_tick_failures: int = 5, stall_timeout: float = 300.0):
+                 max_tick_failures: int = 5, stall_timeout: float = 300.0,
+                 reload_fn=None, checkpoint_path: str | None = None):
         self.engine = engine
         self.tick_interval = tick_interval
         self.log = log
         self.max_tick_failures = max_tick_failures
         self.stall_timeout = stall_timeout
+        # Checkpoint hot-swap (`{"reload": path}` header): reload_fn builds
+        # a fresh engine for a checkpoint path; the server warms it in the
+        # REQUESTING client's thread (serving continues on the old program)
+        # and then swaps the enhancer atomically under the serving lock.
+        self.reload_fn = reload_fn
+        self.checkpoint_path = checkpoint_path
+        self.reloads = 0
+        self._reload_lock = threading.Lock()
         self.exit_code = 0
         self._lock = threading.Lock()
         self._conns: dict[int, socket.socket] = {}  # sid -> client conn
@@ -229,7 +247,37 @@ class StreamServer:
                     "p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99),
                     "window": len(lat),
                 },
+                "checkpoint": self.checkpoint_path,
+                "reloads": self.reloads,
             }
+
+    def _handle_reload(self, path: str) -> dict:
+        """Zero-downtime checkpoint hot-swap. Build + warm the new model's
+        program while the ticker keeps serving the old one, then swap under
+        the serving lock. Live streams continue on the new model from their
+        next chunk (serve.py swap_enhancer). One reload at a time."""
+        if self.reload_fn is None:
+            return {"error": "reload not enabled on this server"}
+        with self._reload_lock:
+            t0 = time.perf_counter()
+            self.log(f"[serve] reload requested -> {path}: building + "
+                     "warming the new program (serving continues)")
+            try:
+                fresh = self.reload_fn(path)
+                fresh.warmup()
+            except Exception as e:
+                self.log(f"[serve] reload failed: {e!r}")
+                return {"error": repr(e)}
+            with self._lock:
+                self.engine.swap_enhancer(fresh.enhancer)
+                self.checkpoint_path = path
+                self.reloads += 1
+                kept = len(self._conns)
+            dt = round(time.perf_counter() - t0, 1)
+            self.log(f"[serve] hot-swapped checkpoint -> {path} "
+                     f"({dt}s build+warmup, {kept} live stream(s) kept)")
+            return {"ok": True, "checkpoint": path, "warmup_s": dt,
+                    "streams_kept": kept}
 
     # -- internals ----------------------------------------------------------
 
@@ -254,6 +302,15 @@ class StreamServer:
                 # Observability request: one JSON frame, then the normal
                 # completion frame. No engine stream is opened.
                 _send_frame(conn, json.dumps(self.stats()).encode())
+                _send_frame(conn, b"")
+                conn.close()
+                return
+            if meta.get("reload"):
+                # Control request: hot-swap to the named checkpoint (a path
+                # on the SERVER's filesystem). Runs in this client thread —
+                # the build/compile never blocks the serving tick.
+                resp = self._handle_reload(str(meta["reload"]))
+                _send_frame(conn, json.dumps(resp).encode())
                 _send_frame(conn, b"")
                 conn.close()
                 return
@@ -421,9 +478,22 @@ def build_engine(config: dict, checkpoint_path: str, slots: int,
 def query_stats(host: str, port: int, timeout: float = 10.0) -> dict:
     """Fetch a running daemon's stats over the normal wire protocol
     (header `{"stats": true}` -> one JSON frame -> completion frame)."""
+    return _control_request(host, port, {"stats": True}, timeout)
+
+
+def request_reload(host: str, port: int, checkpoint: str,
+                   timeout: float = 3600.0) -> dict:
+    """Ask a running daemon to hot-swap to `checkpoint` (a path on the
+    DAEMON's filesystem). Blocks until the new program is built, warmed,
+    and swapped — minutes on a cold remote backend — while the daemon
+    keeps serving the old model throughout."""
+    return _control_request(host, port, {"reload": checkpoint}, timeout)
+
+
+def _control_request(host, port, header: dict, timeout: float) -> dict:
     conn = socket.create_connection((host, port), timeout=timeout)
     try:
-        _send_frame(conn, json.dumps({"stats": True}).encode())
+        _send_frame(conn, json.dumps(header).encode())
         frame = _recv_frame(conn)
         return json.loads(frame.decode()) if frame else {}
     finally:
@@ -467,6 +537,12 @@ def main(argv=None) -> None:
                         help="query a RUNNING daemon at --host/--port, "
                              "print its stats JSON, and exit (no -C/-M "
                              "needed)")
+    parser.add_argument("--reload", metavar="CKPT",
+                        help="tell a RUNNING daemon at --host/--port to "
+                             "hot-swap to this checkpoint (a path on the "
+                             "daemon's filesystem) with zero downtime, "
+                             "print the ack JSON, and exit (no -C/-M "
+                             "needed)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--slots", type=int, default=8,
@@ -503,9 +579,15 @@ def main(argv=None) -> None:
     if args.stats:
         print(json.dumps(query_stats(args.host, args.port)))
         return
+    if args.reload:
+        resp = request_reload(args.host, args.port, args.reload)
+        print(json.dumps(resp))
+        if "error" in resp:
+            raise SystemExit(1)
+        return
     if args.configuration is None or args.checkpoint is None:
         parser.error("-C/--configuration and -M/--checkpoint are required "
-                     "(unless --stats)")
+                     "(unless --stats/--reload)")
     if args.supervise is not None:
         child_argv = list(argv) if argv is not None else sys.argv[1:]
         for i, a in enumerate(child_argv):
@@ -536,6 +618,11 @@ def main(argv=None) -> None:
         engine, args.host, args.port, args.tick,
         max_tick_failures=args.max_tick_failures,
         stall_timeout=args.stall_timeout,
+        reload_fn=lambda path: build_engine(
+            config, path, args.slots, args.dtype, args.chunk_seconds,
+            pipeline_depth=args.pipeline_depth,
+        ),
+        checkpoint_path=args.checkpoint,
     ).serve_forever()
     if rc:
         raise SystemExit(rc)

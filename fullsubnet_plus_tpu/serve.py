@@ -101,6 +101,19 @@ class StreamingEngine:
         self.pipeline_depth = int(pipeline_depth)
         self._pending: list = []  # (device_out, [(stream, true_len), ...])
 
+    def swap_enhancer(self, enhancer) -> None:
+        """Serve a new model from the next dispatched chunk on (checkpoint
+        hot-swap, cli/serve.py `--reload`). Per-stream state is host-side
+        OLA bookkeeping only, so live streams continue seamlessly: chunks
+        already in flight finalize from the old program's outputs, later
+        chunks run the new model, and the Hann cross-fade smooths the seam.
+        The caller must hold the serving lock and must have WARMED the new
+        enhancer's program first (warmup() on a scratch engine) — otherwise
+        the next tick pays the compile while clients wait."""
+        assert enhancer.sr == self.enhancer.sr, "sample rate changed across reload"
+        self.enhancer = enhancer
+        self._base = getattr(enhancer, self.mode)
+
     def warmup(self) -> None:
         """Compile/load the fixed-shape program and run it once, BEFORE
         accepting traffic: over the remote backend the first dispatch costs

@@ -525,3 +525,90 @@ def test_stats_surface():
         assert s1["busy_tick_ms"]["p99"] >= s1["busy_tick_ms"]["p50"]
     finally:
         server.stop()
+
+
+def test_checkpoint_hot_swap():
+    """Zero-downtime model update (cli/serve.py `{"reload": path}` /
+    `--reload`): the daemon builds + warms a new program while serving the
+    old one, then swaps atomically. A stream served BEFORE the swap must
+    match the old model's offline output; a stream served AFTER must match
+    the new model's — and stats must record the reload."""
+    from fullsubnet_plus_tpu.cli.serve import query_stats, request_reload
+
+    def make_enhancer(seed):
+        params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(seed), SMALL)
+        return Enhancer(FULLSUBNET_PLUS, SMALL, params, sr=1000, **ACOUSTICS)
+
+    e_old, e_new = make_enhancer(0), make_enhancer(1)
+    engine = StreamingEngine(e_old, slots=8, chunk_samples=4000)
+    built = {}
+
+    def reload_fn(path):
+        built["path"] = path
+        return StreamingEngine(e_new, slots=8, chunk_samples=4000)
+
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=reload_fn,
+                          checkpoint_path="old.npz")
+    server.start()
+    try:
+        utt = _utt(9000, 40)
+        offline_old = np.asarray(
+            e_old.overlapped_chunk(utt[None], chunk_seconds=4))[0]
+        offline_new = np.asarray(
+            e_new.overlapped_chunk(utt[None], chunk_seconds=4))[0]
+        assert not np.allclose(offline_old, offline_new)  # models differ
+
+        results = {}
+        _client(server.port, utt, results, 0)
+        np.testing.assert_allclose(results[0], offline_old, atol=1e-6)
+
+        ack = request_reload("127.0.0.1", server.port, "new.npz", timeout=60)
+        assert ack.get("ok") is True and ack["checkpoint"] == "new.npz"
+        assert built["path"] == "new.npz"
+
+        _client(server.port, utt, results, 1)
+        np.testing.assert_allclose(results[1], offline_new, atol=1e-6)
+
+        s = query_stats("127.0.0.1", server.port)
+        assert s["reloads"] == 1 and s["checkpoint"] == "new.npz"
+        assert s["streams_completed"] == 2
+    finally:
+        server.stop()
+
+
+def test_reload_disabled_and_failed():
+    """A server constructed without reload_fn refuses the request with an
+    error frame; a reload whose build raises reports the error and leaves
+    the old model serving."""
+    from fullsubnet_plus_tpu.cli.serve import request_reload
+
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "x.npz", timeout=30)
+        assert "error" in resp
+    finally:
+        server.stop()
+
+    def boom(path):
+        raise FileNotFoundError(path)
+
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=boom)
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "x.npz", timeout=30)
+        assert "error" in resp and "x.npz" in resp["error"]
+        # old model still serves
+        utt = _utt(6500, 41)
+        offline = np.asarray(e.overlapped_chunk(utt[None], chunk_seconds=4))[0]
+        results = {}
+        _client(server.port, utt, results, 0)
+        np.testing.assert_allclose(results[0], offline, atol=1e-6)
+        assert server.reloads == 0
+    finally:
+        server.stop()
