@@ -3,7 +3,8 @@
     python -m fullsubnet_plus_tpu.cli.serve -C config/inference.toml \
         -M checkpoint(.npz|.tar|.pth) [--port 7860] [--slots 8] \
         [--dtype int8] [--chunk-seconds 4] [--tick 0.1] \
-        [--max-tick-failures 5] [--stall-timeout 300] [--supervise N]
+        [--max-tick-failures 5] [--stall-timeout 300] [--supervise N] \
+        [--watch SECS]
     python -m fullsubnet_plus_tpu.cli.serve --stats [--host H --port P]
     python -m fullsubnet_plus_tpu.cli.serve --reload CKPT [--host H --port P]
 
@@ -36,7 +37,10 @@ requesting client's thread (serving continues on the old model throughout
 — minutes on a cold remote backend), then atomically hot-swap it. Live
 streams keep flowing and pick up the new model from their next chunk, the
 Hann cross-fade smoothing the seam. `--reload CKPT` is the bundled client;
-the ack frame reports warmup seconds and live streams kept.
+the ack frame reports warmup seconds and live streams kept. `--watch SECS`
+polls the -M checkpoint file instead and auto-swaps whenever it changes —
+point it at a live training run's atomically-published latest/best
+checkpoint and the daemon follows the run.
 
 A ~2 s added latency is inherent to the 4 s/50 % chunk geometry (audio must
 arrive before it can be enhanced); the compute adds only the tick wall
@@ -250,6 +254,40 @@ class StreamServer:
                 "checkpoint": self.checkpoint_path,
                 "reloads": self.reloads,
             }
+
+    def watch_checkpoint(self, path: str, interval: float = 10.0):
+        """Poll `path` and hot-swap whenever the file changes — the
+        train→serve continuous-deployment loop: the trainer atomically
+        publishes latest/best checkpoints (io/checkpoint.py os.replace),
+        and a `--watch` daemon follows them with zero downtime. Reuses the
+        explicit-reload path (build + warm in the watcher thread, swap
+        under the lock), so the serving tick never waits; a failed reload
+        (e.g. a checkpoint deleted mid-poll) is logged and watching
+        continues. Returns the started daemon thread."""
+        import os
+
+        def _sig():
+            try:
+                st = os.stat(path)
+                return (st.st_mtime_ns, st.st_size)
+            except OSError:
+                return None
+
+        def _loop(last=_sig()):
+            while not self._stop.wait(interval):
+                sig = _sig()
+                if sig is None or sig == last:
+                    continue
+                last = sig
+                resp = self._handle_reload(path)
+                if "error" in resp:
+                    self.log(f"[serve] watch: reload failed, still serving "
+                             f"the previous model: {resp['error']}")
+
+        t = threading.Thread(target=_loop, daemon=True)
+        t.start()
+        self.log(f"[serve] watching {path} (every {interval:g}s)")
+        return t
 
     def _handle_reload(self, path: str) -> dict:
         """Zero-downtime checkpoint hot-swap. Build + warm the new model's
@@ -569,6 +607,11 @@ def main(argv=None) -> None:
                         help="seconds without a completed tick before the "
                              "daemon assumes the backend wedged a device "
                              "call forever and exits (0 disables)")
+    parser.add_argument("--watch", type=float, default=None, metavar="SECS",
+                        help="poll the -M checkpoint file every SECS "
+                             "seconds and hot-swap with zero downtime "
+                             "whenever it changes (follow a live training "
+                             "run's published checkpoints)")
     parser.add_argument("--supervise", type=int, default=None, metavar="N",
                         help="run under a supervisor that relaunches the "
                              "daemon up to N times when it exits nonzero "
@@ -614,7 +657,7 @@ def main(argv=None) -> None:
     print("[serve] warming the device program (first compile/load can take "
           "minutes on a remote backend) ...", flush=True)
     engine.warmup()
-    rc = StreamServer(
+    server = StreamServer(
         engine, args.host, args.port, args.tick,
         max_tick_failures=args.max_tick_failures,
         stall_timeout=args.stall_timeout,
@@ -623,7 +666,10 @@ def main(argv=None) -> None:
             pipeline_depth=args.pipeline_depth,
         ),
         checkpoint_path=args.checkpoint,
-    ).serve_forever()
+    )
+    if args.watch:
+        server.watch_checkpoint(args.checkpoint, args.watch)
+    rc = server.serve_forever()
     if rc:
         raise SystemExit(rc)
 

@@ -612,3 +612,48 @@ def test_reload_disabled_and_failed():
         assert server.reloads == 0
     finally:
         server.stop()
+
+
+def test_watch_checkpoint_auto_reload(tmp_path):
+    """`--watch`: the daemon polls the checkpoint file and hot-swaps when it
+    changes (follow a live training run). Each rewrite of the file triggers
+    exactly one reload; a vanished file is tolerated."""
+    import time as _time
+
+    ckpt = tmp_path / "latest.npz"
+    ckpt.write_bytes(b"v0")
+
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    calls = []
+
+    def reload_fn(path):
+        calls.append(path)
+        return StreamingEngine(e, slots=8, chunk_samples=4000)
+
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=reload_fn,
+                          checkpoint_path=str(ckpt))
+    server.start()
+    try:
+        server.watch_checkpoint(str(ckpt), interval=0.05)
+        _time.sleep(0.3)
+        assert calls == []  # unchanged file: no reload
+
+        ckpt.write_bytes(b"v1-longer")  # mtime+size change
+        deadline = _time.monotonic() + 30
+        while server.reloads < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert server.reloads == 1 and len(calls) == 1
+
+        ckpt.unlink()  # vanished: tolerated, no crash, no reload
+        _time.sleep(0.3)
+        assert len(calls) == 1
+
+        ckpt.write_bytes(b"v2-even-longer")
+        deadline = _time.monotonic() + 30
+        while server.reloads < 2 and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert server.reloads == 2 and len(calls) == 2
+    finally:
+        server.stop()
