@@ -657,3 +657,39 @@ def test_watch_checkpoint_auto_reload(tmp_path):
         assert server.reloads == 2 and len(calls) == 2
     finally:
         server.stop()
+
+
+def test_stats_and_reload_cli_paths(capsys):
+    """`cli.serve --stats` / `--reload` argparse paths: main() acts as the
+    query client against a running daemon and prints the JSON reply."""
+    from fullsubnet_plus_tpu.cli import serve as cli
+
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(
+        engine, port=0, tick_interval=0.02, log=lambda *_: None,
+        reload_fn=lambda p: StreamingEngine(e, slots=8, chunk_samples=4000),
+        checkpoint_path="a.npz",
+    )
+    server.start()
+    try:
+        cli.main(["--stats", "--port", str(server.port)])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["checkpoint"] == "a.npz" and out["reloads"] == 0
+
+        cli.main(["--reload", "b.npz", "--port", str(server.port)])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out.get("ok") is True and out["checkpoint"] == "b.npz"
+        assert server.reloads == 1
+    finally:
+        server.stop()
+
+    # --reload against a daemon with reload disabled exits nonzero
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    server.start()
+    try:
+        with pytest.raises(SystemExit):
+            cli.main(["--reload", "b.npz", "--port", str(server.port)])
+    finally:
+        server.stop()
