@@ -45,6 +45,13 @@ checkpoint and the daemon follows the run.
 A ~2 s added latency is inherent to the 4 s/50 % chunk geometry (audio must
 arrive before it can be enhanced); the compute adds only the tick wall
 (42-181 ms p50-p99 measured, docs/PERFORMANCE.md).
+
+Shutdown: SIGTERM (or Ctrl-C) drains gracefully — in-flight device work
+finalizes, every live stream's enhanced audio flushes, completed streams
+get the completion frame and the rest the protocol's clean abort (EOF
+without it), and the daemon exits 0. `--watch`/hot-swap restarts driven by
+an operator's `kill <pid>` therefore never cut a client mid-frame, and a
+`--supervise` wrapper treats the exit as clean (no relaunch).
 """
 
 from __future__ import annotations
@@ -125,7 +132,8 @@ class StreamServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 7860,
                  tick_interval: float = 0.1, log=print,
                  max_tick_failures: int = 5, stall_timeout: float = 300.0,
-                 reload_fn=None, checkpoint_path: str | None = None):
+                 reload_fn=None, checkpoint_path: str | None = None,
+                 allow_remote_reload: bool = False):
         self.engine = engine
         self.tick_interval = tick_interval
         self.log = log
@@ -139,10 +147,22 @@ class StreamServer:
         self.checkpoint_path = checkpoint_path
         self.reloads = 0
         self._reload_lock = threading.Lock()
+        # The reload header is an unauthenticated control plane (any client
+        # that can reach the port can make the daemon load a server-side
+        # checkpoint path and hold the reload lock for minutes). Safe on the
+        # loopback default; when binding a non-loopback interface, reload
+        # requests are restricted to the -M checkpoint's own directory
+        # unless the operator passes --allow-remote-reload (r4 advisor
+        # finding).
+        self._reload_restricted = (
+            not allow_remote_reload
+            and host not in ("127.0.0.1", "localhost", "::1")
+        )
         self.exit_code = 0
         self._lock = threading.Lock()
         self._conns: dict[int, socket.socket] = {}  # sid -> client conn
         self._stop = threading.Event()
+        self._term = threading.Event()  # graceful-shutdown request (SIGTERM)
         self._last_tick = time.monotonic()
         # Stats surface (`{"stats": true}` header, see module docstring):
         # lifetime totals plus a rolling window of BUSY-tick engine
@@ -182,12 +202,39 @@ class StreamServer:
         for t in self._threads:
             t.join(timeout=10)
 
+    def request_shutdown(self) -> None:
+        """Ask serve_forever to drain and exit 0 (the SIGTERM handler's
+        body; also callable directly, e.g. from tests or an embedding
+        process). Idempotent and safe from any thread/signal context."""
+        self._term.set()
+
     def serve_forever(self) -> int:
         """Run until stopped; returns the process exit code (0 = clean
-        shutdown, nonzero = the failure policy tripped)."""
+        shutdown, nonzero = the failure policy tripped).
+
+        SIGTERM (and Ctrl-C) trigger a GRACEFUL shutdown — the trainer's
+        preemption discipline (train/trainer.py), applied to serving: stop
+        accepting, finalize in-flight device work, flush each live stream's
+        enhanced audio, then close every connection with the protocol's
+        clean abort (EOF without the completion frame) instead of cutting
+        sockets mid-frame. Exit code 0, so a supervisor treats an operator
+        kill (and a `--watch`/hot-swap restart driven by one) as a clean
+        stop, not a crash to relaunch."""
         self.start()
+        import signal
+
+        prev_term = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:  # signal handlers may only be installed in main
+            prev_term = signal.signal(
+                signal.SIGTERM, lambda *_: self.request_shutdown()
+            )
         try:
             while not self._stop.is_set():
+                if self._term.is_set():
+                    self._graceful_drain()
+                    self._stop.set()
+                    break
                 time.sleep(0.2)
                 stalled = time.monotonic() - self._last_tick
                 if self.stall_timeout and stalled > self.stall_timeout:
@@ -202,10 +249,56 @@ class StreamServer:
                     self._disconnect_all()
                     self._stop.set()
         except KeyboardInterrupt:
-            pass
+            self._graceful_drain()
         finally:
+            if prev_term is not None:
+                signal.signal(signal.SIGTERM, prev_term)
             self.stop()
         return self.exit_code
+
+    def _graceful_drain(self) -> None:
+        """Drain and release every live stream cleanly (SIGTERM path).
+
+        1. Close the listening socket — no new streams.
+        2. Under the serving lock, run the engine dry: finalize the
+           pipelined in-flight dispatches and enhance every chunk that is
+           already ready (serve.StreamingEngine.drain), then pull each
+           stream's output.
+        3. Send each client its remaining enhanced frames; a stream whose
+           audio fully completed gets the true completion frame, every
+           other gets the protocol's clean abort (EOF WITHOUT the
+           completion frame) — never a mid-frame cut."""
+        self.log("[serve] graceful shutdown: draining in-flight work")
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        with self._lock:
+            try:
+                self.engine.drain()
+            except Exception as e:  # poisoned backend mid-drain: still
+                self.log(f"[serve] drain failed (flushing what we have): "
+                         f"{e!r}")
+            conns = list(self._conns.items())
+            self._conns.clear()
+            flushes = [
+                (sid, conn, self.engine.pull(sid), self.engine.is_done(sid))
+                for sid, conn in conns
+            ]
+        for sid, conn, out, done in flushes:
+            try:
+                if len(out):
+                    _send_frame(conn, out.astype(np.float32).tobytes())
+                if done:
+                    _send_frame(conn, b"")  # stream truly completed
+            except OSError:
+                pass
+            _abort_conn(conn)
+        if flushes:
+            done_n = sum(1 for f in flushes if f[3])
+            self.log(f"[serve] released {len(flushes)} live stream(s) "
+                     f"({done_n} completed, {len(flushes) - done_n} cleanly "
+                     "aborted)")
 
     def _disconnect_all(self) -> None:
         """Close every client connection WITHOUT the completion frame —
@@ -278,11 +371,20 @@ class StreamServer:
                 sig = _sig()
                 if sig is None or sig == last:
                     continue
-                last = sig
                 resp = self._handle_reload(path)
                 if "error" in resp:
+                    # Do NOT advance `last`: a transiently failed reload
+                    # (backend hiccup, checkpoint replaced mid-load) retries
+                    # on the next poll instead of silently serving a stale
+                    # model until the NEXT publish (r4 advisor finding).
                     self.log(f"[serve] watch: reload failed, still serving "
-                             f"the previous model: {resp['error']}")
+                             f"the previous model (will retry in "
+                             f"{interval:g}s): {resp['error']}")
+                    continue
+                # `sig` is the PRE-reload stat: if the file changed again
+                # mid-reload, the next poll sees a newer signature and
+                # reloads again rather than skipping that publish.
+                last = sig
 
         t = threading.Thread(target=_loop, daemon=True)
         t.start()
@@ -296,6 +398,24 @@ class StreamServer:
         next chunk (serve.py swap_enhancer). One reload at a time."""
         if self.reload_fn is None:
             return {"error": "reload not enabled on this server"}
+        if self._reload_restricted:
+            import os
+
+            base = os.path.dirname(
+                os.path.realpath(self.checkpoint_path or "")
+            )
+            target = os.path.realpath(path)
+            try:
+                inside = base and os.path.commonpath([base, target]) == base
+            except ValueError:  # different drives / mixed abs-rel
+                inside = False
+            if not inside:
+                return {
+                    "error": "reload refused: daemon is bound to a "
+                    "non-loopback interface, so reload paths are restricted "
+                    f"to the serving checkpoint's directory ({base or '?'}); "
+                    "pass --allow-remote-reload to disable this guard"
+                }
         with self._reload_lock:
             t0 = time.perf_counter()
             self.log(f"[serve] reload requested -> {path}: building + "
@@ -607,6 +727,12 @@ def main(argv=None) -> None:
                         help="seconds without a completed tick before the "
                              "daemon assumes the backend wedged a device "
                              "call forever and exits (0 disables)")
+    parser.add_argument("--allow-remote-reload", action="store_true",
+                        help="when bound to a non-loopback --host, allow "
+                             "{'reload': path} requests for ANY server-side "
+                             "path (default: restricted to the -M "
+                             "checkpoint's directory; loopback binds are "
+                             "always unrestricted)")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="poll the -M checkpoint file every SECS "
                              "seconds and hot-swap with zero downtime "
@@ -666,6 +792,7 @@ def main(argv=None) -> None:
             pipeline_depth=args.pipeline_depth,
         ),
         checkpoint_path=args.checkpoint,
+        allow_remote_reload=args.allow_remote_reload,
     )
     if args.watch:
         server.watch_checkpoint(args.checkpoint, args.watch)

@@ -27,6 +27,38 @@ SMALL = FullSubNetPlusConfig(
     sb_model_hidden_size=16,
 )
 
+_SERVE_TOML = """
+[acoustics]
+n_fft = 64
+win_length = 64
+sr = 1000
+hop_length = 32
+
+[inferencer]
+type = "mag_complex_full_band_crm_mask"
+[inferencer.args]
+n_neighbor = 4
+
+[model]
+path = "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus"
+[model.args]
+sb_num_neighbors = 4
+fb_num_neighbors = 0
+num_freqs = 33
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+channel_attention_model = "TSSE"
+fb_model_hidden_size = 16
+sb_model_hidden_size = 16
+weight_init = false
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+kersize = [3, 5, 10]
+subband_num = 1
+"""
+
 
 def _enhancer():
     params = FULLSUBNET_PLUS.init(jax.random.PRNGKey(0), SMALL)
@@ -412,37 +444,7 @@ def test_serve_cli_daemon_end_to_end(tmp_path):
     ckpt = tmp_path / "model.npz"
     save_pytree(str(ckpt), {"params": params}, {"epoch": 0})
     cfg = tmp_path / "serve.toml"
-    cfg.write_text("""
-[acoustics]
-n_fft = 64
-win_length = 64
-sr = 1000
-hop_length = 32
-
-[inferencer]
-type = "mag_complex_full_band_crm_mask"
-[inferencer.args]
-n_neighbor = 4
-
-[model]
-path = "fullsubnet_plus.model.fullsubnet_plus.FullSubNet_Plus"
-[model.args]
-sb_num_neighbors = 4
-fb_num_neighbors = 0
-num_freqs = 33
-look_ahead = 2
-sequence_model = "LSTM"
-fb_output_activate_function = "ReLU"
-sb_output_activate_function = false
-channel_attention_model = "TSSE"
-fb_model_hidden_size = 16
-sb_model_hidden_size = 16
-weight_init = false
-norm_type = "offline_laplace_norm"
-num_groups_in_drop_band = 2
-kersize = [3, 5, 10]
-subband_num = 1
-""")
+    cfg.write_text(_SERVE_TOML)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -655,6 +657,216 @@ def test_watch_checkpoint_auto_reload(tmp_path):
         while server.reloads < 2 and _time.monotonic() < deadline:
             _time.sleep(0.05)
         assert server.reloads == 2 and len(calls) == 2
+    finally:
+        server.stop()
+
+
+def test_graceful_shutdown_mid_stream():
+    """VERDICT r5 ask #5: a shutdown request mid-stream drains in-flight
+    work and releases clients cleanly — the client receives every enhanced
+    frame that was ready, then EOF WITHOUT the completion frame (the
+    protocol's clean abort), and serve_forever returns 0."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000,
+                             pipeline_depth=2)
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None)
+    rc_box = {}
+    runner = threading.Thread(target=lambda: rc_box.setdefault(
+        "rc", server.serve_forever()), daemon=True)
+    runner.start()
+    conn = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        _send_frame(conn, json.dumps({"sr": 1000}).encode())
+        # 9000 samples, stream left OPEN: chunks 0-2 are ready, the tail is
+        # not — a live stream caught mid-flight.
+        y = _utt(9000, 70)
+        _send_frame(conn, y.tobytes())
+        # wait until the engine has enhanced something for this stream
+        deadline = __import__("time").monotonic() + 30
+        while engine.chunks_enhanced == 0 and \
+                __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.02)
+        assert engine.chunks_enhanced > 0
+
+        server.request_shutdown()
+        conn.settimeout(30)
+        frames, completion = [], False
+        while True:
+            frame = _recv_frame(conn)
+            if frame is None:
+                break  # EOF
+            if frame == b"":
+                completion = True  # would be a lie for an open stream
+                break
+            frames.append(np.frombuffer(frame, np.float32))
+        assert not completion, "open stream must get a clean abort, not a " \
+                               "completion frame"
+        got = np.concatenate(frames) if frames else np.zeros(0, np.float32)
+        # drained output is a PREFIX of the offline result (every ready
+        # chunk was enhanced and flushed before the abort)
+        offline = np.asarray(e.overlapped_chunk(y[None], chunk_seconds=4))[0]
+        assert len(got) > 0
+        np.testing.assert_allclose(got, offline[: len(got)], atol=1e-6)
+        runner.join(timeout=30)
+        assert not runner.is_alive()
+        assert rc_box["rc"] == 0 and server.exit_code == 0
+    finally:
+        conn.close()
+        server.stop()
+
+
+def test_sigterm_daemon_drains_cleanly(tmp_path):
+    """The real daemon process under SIGTERM (the signal a supervisor or
+    operator `kill` sends): a client mid-stream observes its flushed
+    frames then a clean abort — not a cut socket — and the daemon exits 0
+    (cli/serve.py serve_forever SIGTERM handler)."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import jax as _jax
+    from fullsubnet_plus_tpu.io.checkpoint import save_pytree
+
+    params = FULLSUBNET_PLUS.init(_jax.random.PRNGKey(0), SMALL)
+    ckpt = tmp_path / "model.npz"
+    save_pytree(str(ckpt), {"params": params}, {"epoch": 0})
+    cfg = tmp_path / "serve.toml"
+    cfg.write_text(_SERVE_TOML)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    child = subprocess.Popen(
+        [sys.executable, "-m", "fullsubnet_plus_tpu.cli.serve",
+         "-C", str(cfg), "-M", str(ckpt), "--port", "0",
+         "--dtype", "float32", "--tick", "0.02"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        port, deadline = None, time.monotonic() + 180
+        while port is None and time.monotonic() < deadline:
+            line = child.stdout.readline()
+            if not line:
+                time.sleep(0.1)
+                continue
+            m = re.search(r"listening on :(\d+)", line)
+            if m:
+                port = int(m.group(1))
+        assert port, "daemon never reported its port"
+        conn = socket.create_connection(("127.0.0.1", port), timeout=60)
+        _send_frame(conn, json.dumps({"sr": 1000}).encode())
+        y = _utt(9000, 71)
+        _send_frame(conn, y.tobytes())  # stream stays OPEN (mid-stream)
+        conn.settimeout(60)
+        first = _recv_frame(conn)  # wait for real enhanced audio
+        assert first not in (None, b"")
+
+        child.send_signal(signal.SIGTERM)  # exact pid (CLAUDE.md)
+        frames, completion = [np.frombuffer(first, np.float32)], False
+        while True:
+            frame = _recv_frame(conn)
+            if frame is None:
+                break
+            if frame == b"":
+                completion = True
+                break
+            frames.append(np.frombuffer(frame, np.float32))
+        conn.close()
+        assert not completion  # clean abort for the open stream
+        assert sum(len(f) for f in frames) > 0
+        assert child.wait(timeout=60) == 0  # graceful => exit 0
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait()
+
+
+def test_reload_restricted_on_non_loopback_bind(tmp_path):
+    """Binding a non-loopback interface restricts the unauthenticated
+    reload control plane to the serving checkpoint's directory (r4 advisor
+    finding); allow_remote_reload=True lifts the guard."""
+    from fullsubnet_plus_tpu.cli.serve import request_reload
+
+    e = _enhancer()
+    inside = tmp_path / "best_model.npz"
+    inside.write_bytes(b"x")
+    reload_fn = lambda p: StreamingEngine(e, slots=8, chunk_samples=4000)
+
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    server = StreamServer(engine, host="0.0.0.0", port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=reload_fn,
+                          checkpoint_path=str(tmp_path / "serving.npz"))
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "/etc/passwd",
+                              timeout=30)
+        assert "error" in resp and "restricted" in resp["error"]
+        assert server.reloads == 0
+        resp = request_reload("127.0.0.1", server.port, str(inside),
+                              timeout=30)
+        assert resp.get("ok") is True and server.reloads == 1
+    finally:
+        server.stop()
+
+    # loopback bind (the default): unrestricted, as before
+    server = StreamServer(StreamingEngine(e, slots=8, chunk_samples=4000),
+                          port=0, tick_interval=0.02, log=lambda *_: None,
+                          reload_fn=reload_fn, checkpoint_path="a.npz")
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "/anywhere/x.npz",
+                              timeout=30)
+        assert resp.get("ok") is True
+    finally:
+        server.stop()
+
+    # explicit opt-out lifts the guard on a non-loopback bind
+    server = StreamServer(StreamingEngine(e, slots=8, chunk_samples=4000),
+                          host="0.0.0.0", port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=reload_fn,
+                          checkpoint_path="a.npz", allow_remote_reload=True)
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "/anywhere/x.npz",
+                              timeout=30)
+        assert resp.get("ok") is True
+    finally:
+        server.stop()
+
+
+def test_watch_retries_failed_reload(tmp_path):
+    """A transiently failed --watch reload must retry on the next poll
+    WITHOUT another file change (r4 advisor finding: `last` advanced before
+    the reload, so a hiccup meant serving a stale model until the next
+    publish)."""
+    import time as _time
+
+    ckpt = tmp_path / "latest.npz"
+    ckpt.write_bytes(b"v0")
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    calls = []
+
+    def flaky_reload(path):
+        calls.append(path)
+        if len(calls) == 1:
+            raise RuntimeError("transient backend hiccup")
+        return StreamingEngine(e, slots=8, chunk_samples=4000)
+
+    server = StreamServer(engine, port=0, tick_interval=0.02,
+                          log=lambda *_: None, reload_fn=flaky_reload,
+                          checkpoint_path=str(ckpt))
+    server.start()
+    try:
+        server.watch_checkpoint(str(ckpt), interval=0.05)
+        ckpt.write_bytes(b"v1-longer")  # ONE change; first reload fails
+        deadline = _time.monotonic() + 30
+        while server.reloads < 1 and _time.monotonic() < deadline:
+            _time.sleep(0.05)
+        assert server.reloads == 1 and len(calls) == 2  # failed, retried
     finally:
         server.stop()
 
