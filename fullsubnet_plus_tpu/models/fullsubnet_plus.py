@@ -40,21 +40,15 @@ from fullsubnet_plus_tpu.nn.attention import (
 )
 from fullsubnet_plus_tpu.nn.sequence import sequence_model_init, sequence_model_apply
 
-# Trace-time toggle (like ops/lstm_pallas.py FUSED_WGRAD): build the serving
-# path's sub-band fold directly in the fused kernel's feature-sublane-major
-# [T, D, N] layout, skipping the channel-major [B, F, 34, T] materialization
-# and the whole-fold transpose inside the kernel wrapper. False restores the
-# reference-shaped construction on every path (training always uses it —
-# drop_band and the train kernel's [T, N, D] blocks key off channel-major).
-# Default OFF: measured SLOWER end-to-end on chip (355.3 vs 348.5 ms/iter
-# at the batch-96 int8 serving shape, min over 5 interleaved rounds) even
-# though the construction alone wins by ~1 ms — XLA fuses the channel-major
-# unfold/concat/norm into the branch producers in the full program, so the
-# recoverable cost is far below the isolated ~24 ms. Kept behind the flag
-# with a parity test as the documented probe (scripts/exp_tmfold.py
-# end-to-end, scripts/exp_tmfold2.py construction-only;
-# docs/PERFORMANCE.md "Fold-construction probe").
-TIME_MAJOR_FOLD = False
+# NOTE (r4 probe, retired in r5): a serving-path construction of the fold
+# directly in the fused kernel's feature-sublane-major [T, D, N] layout
+# (TIME_MAJOR_FOLD) was measured end-to-end SLOWER (355.3 vs 348.5 ms/iter
+# at the batch-96 int8 serving shape) despite winning construction-only by
+# ~1 ms — XLA fuses the channel-major unfold/concat/norm into the branch
+# producers, so the recoverable cost is far below the isolated ~24 ms. The
+# probe's record lives in docs/PERFORMANCE.md "Fold-construction probe";
+# the rejected construction path itself was deleted (VERDICT r4 weak #3:
+# one fold path, not two held in parity indefinitely).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,124 +259,38 @@ def apply(
 
     fb_w = config.fb_num_neighbors * 2 + 1
     sb_w = config.sb_num_neighbors * 2 + 1
-    time_major_fold = (
-        TIME_MAJOR_FOLD
-        and not training
-        and config.fold_sharding is None
-        and config.norm_type == "offline_laplace_norm"
-        and config.sequence_model == "LSTM"
-        and max(config.sb_num_neighbors, config.fb_num_neighbors) < num_freqs
+    unfold_fb = lambda y: freq_unfold(y, config.fb_num_neighbors).reshape(
+        batch_size, num_freqs, fb_w, num_frames
     )
-    if time_major_fold:
-        # Serving fast path: build the fold DIRECTLY in the fused kernel's
-        # feature-sublane-major [T, Dpad, Npad] layout. The channel-major
-        # route below materializes the unfold at [B, F, 34, T], norms it in
-        # two more full-fold passes, and the kernel wrapper then transposes
-        # AND pads the whole fold to [T, 48, Npad] — all full-fold HBM
-        # traffic this construction never performs:
-        #   * the laplace-norm statistics come from the COMPACT [B, F, T]
-        #     sources with window-multiplicity weights (the mean over the
-        #     materialized unfold is the weighted mean over the source —
-        #     np.bincount of the reflect index table gives the exact addend
-        #     multiset, summed fp32), so no full-fold reduce pass;
-        #   * each window feature is a [T, B, F] slice of the reflect-padded
-        #     compact transpose, normalized/masked/row-padded while still
-        #     ~MBs, and the zero sublane-pad features are stacked in place;
-        #   * ONE jnp.stack then writes the kernel input, already padded.
-        # Same math as the reference construction (fullsubnet_plus.py:
-        # 155-171) to summation-order roundoff — pinned by tests/
-        # test_model_parity.py::test_time_major_fold_matches_channel_major.
-        from fullsubnet_plus_tpu.dsp.unfold import _unfold_indices
-        from fullsubnet_plus_tpu.ops.lstm_pallas import _sublane_pad
+    fb_unf = unfold_fb(fb_output)
+    fbr_unf = unfold_fb(fbr_output)
+    fbi_unf = unfold_fb(fbi_output)
+    mag_unf = freq_unfold(
+        fb_input.reshape(batch_size, 1, num_freqs, num_frames),
+        config.sb_num_neighbors,
+    ).reshape(batch_size, num_freqs, sb_w, num_frames)
 
-        import numpy as np
+    sb_input = jnp.concatenate([mag_unf, fb_unf, fbr_unf, fbi_unf], axis=2)
+    sb_input = norm(sb_input, valid=valid)  # [B, F, 34, T]
 
-        dtype_x = fb_input.dtype
-        srcs = [fb_input, fb_output[:, 0], fbr_output[:, 0], fbi_output[:, 0]]
-        neigh = [config.sb_num_neighbors] + [config.fb_num_neighbors] * 3
-        if valid is not None:
-            msk = time_mask(num_frames, valid, dtype_x)[:, None, :]
-            srcs = [s * msk for s in srcs]
-
-        total = jnp.zeros((batch_size,), jnp.float32)
-        for s, n in zip(srcs, neigh):
-            if n >= 1:
-                w = np.bincount(
-                    np.asarray(_unfold_indices(num_freqs, n, "reflect")).ravel(),
-                    minlength=num_freqs,
-                ).astype(np.float32)
-                total = total + jnp.sum(
-                    s.astype(jnp.float32) * jnp.asarray(w)[None, :, None],
-                    axis=(1, 2),
-                )
-            else:
-                total = total + jnp.sum(s.astype(jnp.float32), axis=(1, 2))
-        n_inner = jnp.float32(config.sb_input_size * num_freqs)
-        count = n_inner * (
-            valid.astype(jnp.float32) if valid is not None
-            else jnp.float32(num_frames)
+    if training:
+        assert valid is None, "valid_frames is a serving-path feature"
+        sb_input = drop_band(
+            jnp.transpose(sb_input, (0, 2, 1, 3)),
+            config.num_groups_in_drop_band,
         )
-        mu = (total / count).astype(dtype_x)[None, :, None]  # [1, B, 1]
+        sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
+    num_freqs_out = sb_input.shape[1]
 
-        n_rows = batch_size * num_freqs
-        n_total = -(-n_rows // 512) * 512  # multiple of both row tiles
-        d_total = config.sb_input_size + _sublane_pad(
-            config.sb_input_size, dtype_x
+    sb_input = sb_input.reshape(
+        batch_size * num_freqs_out, config.sb_input_size, num_frames
+    )
+    if config.fold_sharding is not None:
+        from jax.sharding import PartitionSpec
+
+        sb_input = jax.lax.with_sharding_constraint(
+            sb_input, PartitionSpec(tuple(config.fold_sharding), None, None)
         )
-        pad_n = ((0, 0), (0, n_total - n_rows))
-        feats = []
-        for s, n in zip(srcs, neigh):
-            s_tm = jnp.transpose(s, (2, 0, 1)) / (mu + 1e-5)  # [T, B, F]
-            if n >= 1:
-                sp = jnp.pad(s_tm, ((0, 0), (0, 0), (n, n)), mode="reflect")
-                feats += [
-                    jnp.pad(
-                        sp[:, :, k : k + num_freqs].reshape(num_frames, n_rows),
-                        pad_n,
-                    )
-                    for k in range(2 * n + 1)
-                ]
-            else:
-                feats.append(jnp.pad(s_tm.reshape(num_frames, n_rows), pad_n))
-        assert len(feats) == config.sb_input_size
-        feats += [jnp.zeros((num_frames, n_total), dtype_x)] * (
-            d_total - config.sb_input_size
-        )
-        sb_input = jnp.stack(feats, axis=1)  # [T, Dpad, Npad] in one write
-        num_freqs_out = num_freqs
-    else:
-        unfold_fb = lambda y: freq_unfold(y, config.fb_num_neighbors).reshape(
-            batch_size, num_freqs, fb_w, num_frames
-        )
-        fb_unf = unfold_fb(fb_output)
-        fbr_unf = unfold_fb(fbr_output)
-        fbi_unf = unfold_fb(fbi_output)
-        mag_unf = freq_unfold(
-            fb_input.reshape(batch_size, 1, num_freqs, num_frames),
-            config.sb_num_neighbors,
-        ).reshape(batch_size, num_freqs, sb_w, num_frames)
-
-        sb_input = jnp.concatenate([mag_unf, fb_unf, fbr_unf, fbi_unf], axis=2)
-        sb_input = norm(sb_input, valid=valid)  # [B, F, 34, T]
-
-        if training:
-            assert valid is None, "valid_frames is a serving-path feature"
-            sb_input = drop_band(
-                jnp.transpose(sb_input, (0, 2, 1, 3)),
-                config.num_groups_in_drop_band,
-            )
-            sb_input = jnp.transpose(sb_input, (0, 2, 1, 3))
-        num_freqs_out = sb_input.shape[1]
-
-        sb_input = sb_input.reshape(
-            batch_size * num_freqs_out, config.sb_input_size, num_frames
-        )
-        if config.fold_sharding is not None:
-            from jax.sharding import PartitionSpec
-
-            sb_input = jax.lax.with_sharding_constraint(
-                sb_input, PartitionSpec(tuple(config.fold_sharding), None, None)
-            )
     sb_mask = sequence_model_apply(
         params["sb_model"],
         sb_input,
@@ -394,8 +302,7 @@ def apply(
         fast=True,
         fold_axes=config.fold_sharding,
         quantized=config.quantized_lstm and not training,
-        time_major=time_major_fold,
-    )  # [B*F, 2, T] ([Npad, 2, T] from the pre-padded time-major fold)
+    )  # [B*F, 2, T]
     sb_mask = sb_mask[: batch_size * num_freqs_out]
     sb_mask = jnp.transpose(
         sb_mask.reshape(batch_size, num_freqs_out, config.output_size, num_frames),

@@ -108,7 +108,6 @@ def sequence_model_apply(
     fold_axes: tuple | None = None,
     quantized: bool = False,
     valid=None,
-    time_major: bool = False,
 ) -> jnp.ndarray:
     """x: [B, F, T] -> [B, output_size, T] (reference forward, :98-123).
 
@@ -122,35 +121,9 @@ def sequence_model_apply(
     int8-recurrent kernel instead — see ops/lstm_pallas.py for the scheme
     and measured speed/SNR. `valid` ([B] frame counts) gives the TCN path
     masked GroupNorm statistics for bucket-padded batches; the recurrent
-    paths are causal and need no masking. `time_major=True` means x arrives
-    in the fused kernel's feature-sublane-major [T, D, N] layout (the
-    serving model's TIME_MAJOR_FOLD construction) — consumed directly by
-    the single-chip fused/quantized LSTM path; every other route transposes
-    back to channel-major first, so the result is layout-independent.
+    paths are causal and need no masking.
     """
     assert x.ndim == 3
-    if time_major:
-        use_fused_tm = (
-            fast
-            and sequence_model == "LSTM"
-            and not bidirectional
-            and not fold_axes
-            and len(params["seq"]["layers"]) == 2
-            and (_tpu_backend() or FORCE_PALLAS_INTERPRET)
-        )
-        if not use_fused_tm:
-            # Back to channel-major for the scan/TCN routes; drop any
-            # sublane zero-features the pre-padded construction added
-            # (padded ROWS are harmless here — the caller slices them off
-            # the output).
-            x = jnp.transpose(x, (2, 1, 0))
-            layers = (
-                params["seq"].get("layers")
-                if isinstance(params["seq"], dict) else None
-            )
-            if layers:
-                x = x[:, : layers[0]["w_ih"].shape[0], :]
-            time_major = False
     if sequence_model in ("TCN", "TCN-subband"):
         y = tcn_stack_apply(params["seq"], x, valid=valid)  # [B, F, T]
         o = jnp.swapaxes(y, 1, 2) @ params["fc_output_layer"]["weight"] + params[
@@ -196,23 +169,6 @@ def sequence_model_apply(
                         params["seq"], x, params["fc_output_layer"], fold_axes,
                         tile, interp,
                     )
-                elif time_major:
-                    # Forward-only serving: the fold arrives already in the
-                    # kernel's [T, D, N] layout — no transpose at all. The
-                    # non-quantized route calls the raw forward kernel (the
-                    # _train wrapper's custom VJP is moot without jax.grad).
-                    from fullsubnet_plus_tpu.ops.lstm_pallas import stacked_lstm2
-
-                    if quantized:
-                        o = stacked_lstm2_quantized(
-                            params["seq"], x, params["fc_output_layer"], tile,
-                            interp, time_major=True,
-                        )
-                    else:
-                        o = stacked_lstm2(
-                            params["seq"], x, params["fc_output_layer"],
-                            tile_n=tile, interpret=interp, time_major=True,
-                        )
                 else:
                     o = plain(
                         params["seq"], x, params["fc_output_layer"], tile, interp

@@ -219,30 +219,19 @@ def _feature_major(x, d_pad, n_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "steps_per_block",
-                                             "sub_tiles", "interpret",
-                                             "time_major"))
+                                             "sub_tiles", "interpret"))
 def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int = 1,
-                  sub_tiles: int = 1, interpret: bool = False,
-                  time_major: bool = False):
+                  sub_tiles: int = 1, interpret: bool = False):
     """2-layer LSTM forward via the fused kernel.
 
     params: nn/lstm.py layout ({"layers": [{w_ih, w_hh, b_ih, b_hh} x2]}).
     fc: optional {"weight": [H, O], "bias": [O]} fused output projection.
     x: [N, D, T] (the model's native channel-major fold layout —
     fullsubnet_plus.py:254 reshapes straight to it) -> [N, T, H]
-    (or [N, T, O] when fc is given). `time_major=True` means x arrives
-    already in the kernel's feature-sublane-major [T, D, N] layout (the
-    serving model constructs the fold directly that way — see
-    fullsubnet_plus.py TIME_MAJOR_FOLD), so the big transpose here is
-    skipped and only tile padding remains.
+    (or [N, T, O] when fc is given).
     """
     l1, l2 = params["layers"]
-    if time_major:
-        t, d_in, n = x.shape
-        d = l1["w_ih"].shape[0]
-    else:
-        n, d, t = x.shape
-        d_in = d
+    n, d, t = x.shape
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
 
@@ -253,14 +242,7 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
     d_pad = _sublane_pad(d, dtype)
     n_pad = -n % tile_n
     t_pad = -t % steps_per_block
-    if time_major:
-        # Accept the feature axis either logical (D) or already padded to
-        # the sublane tile (the serving fold construction writes the zero
-        # features in its single stack pass — see TIME_MAJOR_FOLD).
-        assert d_in in (d, d + d_pad), (d_in, d, d_pad)
-        x_tm = jnp.pad(x, ((0, 0), (0, d + d_pad - d_in), (0, n_pad)))
-    else:
-        x_tm = _feature_major(x, d_pad, n_pad)
+    x_tm = _feature_major(x, d_pad, n_pad)
     if t_pad:
         x_tm = jnp.pad(x_tm, ((0, t_pad), (0, 0), (0, 0)))
     n_total = n + n_pad
@@ -987,37 +969,26 @@ def _make_quant_kernel():
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret", "time_major"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
-                            interpret: bool = False, time_major: bool = False):
+                            interpret: bool = False):
     """int8-recurrent 2-layer LSTM + fused output projection (serving only).
 
     Same signature/contract as stacked_lstm2(params, x, fc) — x arrives
     channel-major [N, D, T] and runs through the feature-sublane-major
-    [T, Dp, N] block layout (see _feature_major); `time_major=True` means
-    it arrives ALREADY in that layout ([T, D, N], unpadded) and only tile
-    padding happens here. Weights are quantized per call (trivial vs the
-    sweep). Forward-only — do not differentiate through it.
+    [T, Dp, N] block layout (see _feature_major). Weights are quantized per
+    call (trivial vs the sweep). Forward-only — do not differentiate
+    through it.
     """
     l1, l2 = params["layers"]
-    if time_major:
-        t, d_in, n = x.shape
-        d = l1["w_ih"].shape[0]
-    else:
-        n, d, t = x.shape
-        d_in = d
+    n, d, t = x.shape
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
     tile_n = min(tile_n, max(LANE, -(-n // LANE) * LANE))
     n_pad = -n % tile_n
     d_pad = _sublane_pad(d, dtype)
     d_total = d + d_pad
-    if time_major:
-        # Logical-D or pre-padded-D inputs both accepted (see stacked_lstm2).
-        assert d_in in (d, d_total), (d_in, d, d_pad)
-        x_tm = jnp.pad(x, ((0, 0), (0, d_total - d_in), (0, n_pad)))
-    else:
-        x_tm = _feature_major(x, d_pad, n_pad)
+    x_tm = _feature_major(x, d_pad, n_pad)
     n_total = n + n_pad
 
     w1x = jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0)))

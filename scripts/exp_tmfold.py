@@ -1,3 +1,12 @@
+"""HISTORICAL PROBE (r4) — the TIME_MAJOR_FOLD construction path this
+script A/B-tested was measured SLOWER end-to-end and DELETED in r5
+(VERDICT r4 weak #3); the measured record lives in docs/PERFORMANCE.md
+"Fold-construction probe". Run the r4 tree (git log -S TIME_MAJOR_FOLD)
+to reproduce. Kept as the probe record only.
+
+"""
+raise SystemExit(__doc__)
+
 """On-chip A/B: channel-major fold construction (r3 layout) vs the
 time-major fold (models/fullsubnet_plus.py TIME_MAJOR_FOLD) at the bench
 headline shape (batch 96, 10 s, int8 serving path).

@@ -1,3 +1,12 @@
+"""HISTORICAL PROBE (r4) — the TIME_MAJOR_FOLD construction path this
+script A/B-tested was measured SLOWER end-to-end and DELETED in r5
+(VERDICT r4 weak #3); the measured record lives in docs/PERFORMANCE.md
+"Fold-construction probe". Run the r4 tree (git log -S TIME_MAJOR_FOLD)
+to reproduce. Kept as the probe record only.
+
+"""
+raise SystemExit(__doc__)
+
 """Construction-only A/B for the sub-band fold (serving shape, int8 dtype
 irrelevant here — bf16 arrays): which formulation writes the kernel's
 [T, 48, Npad] input cheapest?
