@@ -38,15 +38,23 @@ Training support (`stacked_lstm2_train`) is a jax.custom_vjp around the same
 forward: the VJP forward runs a residual-saving variant of the kernel (gate
 activations + h/c sequences written to HBM alongside the output), and the
 backward is a second Pallas kernel sweeping T in REVERSE with only the
-sequential work inside — per step, the cell backward (VPU) plus ONE matmul
-per layer (dgates @ [W;U]ᵀ, which yields d(input) and the dh carry
-together). The layer weight gradients (dW = x/hᵀ·dgates) are ACCUMULATED
-IN-KERNEL into fp32 VMEM blocks via transposed MXU matmuls
-(_make_bwd_kernel_fused) so the [T, N, 4H] dgates tensors never touch HBM
-(~16 GB of traffic at the batch-36 train shape; landed +15 % step
-throughput). FUSED_WGRAD=False restores the einsum path, whose
-dgates-materializing backward keeps a smaller VMEM footprint
-under the ~16 MB budget.
+sequential work inside — per step, the cell backward (VPU) plus matmuls
+yielding d(input) and the dh carry. The layer weight gradients
+(dW = x/hᵀ·dgates) are ACCUMULATED IN-KERNEL into fp32 VMEM blocks via
+transposed MXU matmuls (_make_bwd_kernel_fused) so the [T, N, 4H] dgates
+tensors never touch HBM (~16 GB of traffic at the batch-36 train shape;
+landed +15 % step throughput). FUSED_WGRAD=False restores the einsum path,
+whose dgates-materializing backward keeps a smaller VMEM footprint under
+the ~16 MB budget.
+
+r5: the training kernels consume the SAME feature-sublane-major layouts as
+the serving kernel (VERDICT r4 #1) — x blocks [T, Dp, N] (D = 34 on
+sublanes, 34→48 instead of the lane pad 34→128), dy/primal-out blocks
+[T, O, N] (O = 2 on sublanes instead of 2→128), and the backward's dx
+written [T, Dp, N]. The feature-major x rows double as the dWih₁
+accumulation layout (a plain dot, no in-kernel transpose); layer 1's
+combined [W₁;U₁] splits into W₁x (sublane-contracting input product / dx)
+and U₁ (dh₁ carry).
 """
 
 from __future__ import annotations
@@ -90,17 +98,6 @@ def _split_weights(params, dtype, d_pad):
     )  # [2H, 4H]
     b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(dtype)
     return w1x, u1, b1, w2, b2
-
-
-def _lane_pad(x, d_pad):
-    """Zero-pad the minor dim inside the kernel (VMEM) so the HBM copy of
-    the input stays unpadded — for the shipped D=34 the old HBM-side pad to
-    128 lanes inflated the folded input 3.8× (~2.65 GB at batch 64)."""
-    if d_pad == 0:
-        return x
-    return jnp.concatenate(
-        [x, jnp.zeros((*x.shape[:-1], d_pad), x.dtype)], axis=-1
-    )
 
 
 def _tdot(a, b):
@@ -318,12 +315,19 @@ def _gate_slices(gates, hidden):
 
 
 def _residual_kernel(
-    d_pad,
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, fcw_ref, fcb_ref,
+    x_ref, w1x_ref, u1_ref, b1_ref, w2_ref, b2_ref, fcw_ref, fcb_ref,
     out_ref, g1_ref, c1o_ref, h1o_ref, g2_ref, c2o_ref, h2o_ref,
     h1, c1, h2, c2,
 ):
-    """Forward sweep that also streams gate activations and h/c to HBM."""
+    """Forward sweep that also streams gate activations and h/c to HBM.
+
+    r5: consumes the same feature-sublane-major [T, Dp, N] input blocks as
+    the serving kernel (_make_kernel) — with D = 34 on the minor (lane)
+    axis XLA padded the per-step x DMA 34 -> 128 lanes and the HBM copy of
+    the fold 3.8x (the r4 serving win, previously missing on the training
+    side — VERDICT r4 #1). The fused output projection likewise writes
+    feature-major [T, O, N] blocks: O = 2 on lanes would pad 2 -> 128 (64x
+    write traffic); on sublanes it pads only 2 -> 8."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -334,7 +338,7 @@ def _residual_kernel(
         c2[:] = jnp.zeros_like(c2)
 
     hidden = h1.shape[-1]
-    mm = w1_ref.dtype
+    mm = w1x_ref.dtype
 
     def cell(gates, c_prev):
         i, f, g, o = _gate_slices(gates, hidden)
@@ -345,12 +349,9 @@ def _residual_kernel(
         return jnp.concatenate([i, f, g, o], axis=-1), h_new, c_new
 
     gates1 = (
-        jnp.dot(
-            jnp.concatenate(
-                [_lane_pad(x_ref[0], d_pad), h1[:].astype(mm)], axis=-1
-            ),
-            w1_ref[:], preferred_element_type=jnp.float32,
-        )
+        _tdot(x_ref[0], w1x_ref[:])
+        + jnp.dot(h1[:].astype(mm), u1_ref[:],
+                  preferred_element_type=jnp.float32)
         + b1_ref[0].astype(jnp.float32)
     )
     acts1, h1_new, c1_new = cell(gates1, c1[:])
@@ -374,10 +375,36 @@ def _residual_kernel(
     h2[:] = h2_new
     c2[:] = c2_new
 
-    y = jnp.dot(
-        h2_new.astype(mm), fcw_ref[:], preferred_element_type=jnp.float32
-    ) + fcb_ref[0].astype(jnp.float32)
+    # y written transposed ([O, tile]) so the out block is feature-major.
+    y = jax.lax.dot_general(
+        fcw_ref[:], h2_new.astype(mm),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fcb_ref[0].astype(jnp.float32)[:, None]
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _cell_bwd(dh, gates, c, c_prev, dc_carry, at_t0):
+    """Single LSTM cell backward (shared by both reverse-sweep kernels).
+    `at_t0` masks c_prev to the zero initial state (the shifted block ref
+    is clamped to block 0 by its index map)."""
+    hidden = dh.shape[-1]
+    i, f, g, o = _gate_slices(gates.astype(jnp.float32), hidden)
+    tanh_c = jnp.tanh(c.astype(jnp.float32))
+    do = dh * tanh_c
+    dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_carry
+    c_prev = jnp.where(at_t0, 0.0, c_prev.astype(jnp.float32))
+    di, dg, df = dc * g, dc * i, dc * c_prev
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    return dgates, dc * f
 
 
 def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
@@ -398,34 +425,15 @@ def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
 
         hidden = dh1.shape[-1]
         mm = w1t_ref.dtype
-        # Grid step s processes timestep t = T-1-s; at t == 0 the "previous"
-        # cell state is the zero initial state (the shifted block ref is
-        # clamped to block 0 by its index map, so mask it here).
+        # Grid step s processes timestep t = T-1-s.
         at_t0 = (t_steps - 1 - s) == 0
 
-        def cell_bwd(dh, g_ref, c_ref, cp_ref, dc_carry):
-            i, f, g, o = _gate_slices(g_ref[0].astype(jnp.float32), hidden)
-            tanh_c = jnp.tanh(c_ref[0].astype(jnp.float32))
-            do = dh * tanh_c
-            dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_carry
-            c_prev = jnp.where(at_t0, 0.0, cp_ref[0].astype(jnp.float32))
-            di, dg, df = dc * g, dc * i, dc * c_prev
-            dgates = jnp.concatenate(
-                [
-                    di * i * (1.0 - i),
-                    df * f * (1.0 - f),
-                    dg * (1.0 - g * g),
-                    do * o * (1.0 - o),
-                ],
-                axis=-1,
-            )
-            return dgates, dc * f
-
-        # Layer 2 backward (fc backward fused: dh2 += dy @ fcWᵀ).
-        dh2_t = jnp.dot(
-            dy_ref[0].astype(mm), fcwt_ref[:], preferred_element_type=jnp.float32
-        ) + dh2[:]
-        dgates2, dc2_new = cell_bwd(dh2_t, g2_ref, c2_ref, c2p_ref, dc2[:])
+        # Layer 2 backward (fc backward fused: dh2 += dy @ fcWᵀ; dy arrives
+        # feature-major [O, tile], so this is a sublane-contracting dot).
+        dh2_t = _tdot(dy_ref[0].astype(mm), fcwt_ref[:]) + dh2[:]
+        dgates2, dc2_new = _cell_bwd(
+            dh2_t, g2_ref[0], c2_ref[0], c2p_ref[0], dc2[:], at_t0
+        )
         dc2[:] = dc2_new
         dg2_ref[0] = dgates2.astype(dg2_ref.dtype)
         # One matmul yields d(h1_t) and d(h2_{t-1}) together: layer 2's step
@@ -437,20 +445,23 @@ def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
         # Layer 1 backward.
         dh1_t = dinp2[:, :hidden] + dh1[:]
         dh2[:] = dinp2[:, hidden:]
-        dgates1, dc1_new = cell_bwd(dh1_t, g1_ref, c1_ref, c1p_ref, dc1[:])
+        dgates1, dc1_new = _cell_bwd(
+            dh1_t, g1_ref[0], c1_ref[0], c1p_ref[0], dc1[:], at_t0
+        )
         dc1[:] = dc1_new
         dg1_ref[0] = dgates1.astype(dg1_ref.dtype)
         dinp1 = jnp.dot(
             dgates1.astype(mm), w1t_ref[:], preferred_element_type=jnp.float32
         )  # [tile, Dp + H]
-        # Columns d..Dp are grads of the zero lane-padding — dropped.
+        # Columns d..Dp are grads of the zero sublane-padding — dropped.
         dx_ref[0] = dinp1[:, :d].astype(dx_ref.dtype)
         dh1[:] = dinp1[:, d_total:]
 
     return _kernel
 
 
-def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int, d_pad: int):
+def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int,
+                           sub_tiles: int = 1):
     """Reverse sweep with the weight gradients ACCUMULATED IN-KERNEL.
 
     The plain backward streams two [T, N, 4H] dgates tensors to HBM and the
@@ -463,11 +474,23 @@ def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int, d_pad: int):
     grid and writes each back once; partial accumulators from different row
     tiles sum there too (order-free). Padded rows contribute nothing (their
     dy and carries are zero, hence dgates are zero).
+
+    r5 layout port (VERDICT r4 #1): x arrives feature-sublane-major
+    ([T, Dp, btile] blocks — its rows ARE the dWih₁ contraction layout, so
+    the accumulation is a plain jnp.dot with no in-kernel transpose), dy
+    arrives [O, btile] (O = 2 on sublanes instead of lane-padded 64x), and
+    dx writes [Dp, btile] blocks via a W₁ᵀ-side dot_general. The combined
+    [W₁;U₁]ᵀ matmul splits into U₁ᵀ (dh₁ carry) + W₁ᵀ (dx) to make the
+    feature-major dx write possible.
+
+    `sub_tiles` > 1 splits the row tile into independent chains per grid
+    step so one chain's VPU cell-backward can overlap another's MXU
+    matmuls — the reverse-sweep dependency-chain probe (VERDICT r4 #6).
     """
     def _kernel(
         dy_ref, g1_ref, c1_ref, c1p_ref, g2_ref, c2_ref, c2p_ref,
         x_ref, h1_ref, h1p_ref, h2p_ref,
-        fcwt_ref, w2t_ref, w1t_ref,
+        fcwt_ref, w2t_ref, u1t_ref, w1x_ref,
         dx_ref, dwih1_ref, dwhh1_ref, db1_ref, dwih2_ref, dwhh2_ref, db2_ref,
         dh1, dc1, dh2, dc2,
     ):
@@ -491,26 +514,10 @@ def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int, d_pad: int):
             db2_ref[:] = jnp.zeros_like(db2_ref)
 
         hidden = dh1.shape[-1]
-        mm = w1t_ref.dtype
+        tile = dh1.shape[0]
+        sub = tile // sub_tiles
+        mm = w1x_ref.dtype
         at_t0 = (t_steps - 1 - s) == 0
-
-        def cell_bwd(dh, g_ref, c_ref, cp_ref, dc_carry):
-            i, f, g, o = _gate_slices(g_ref[0].astype(jnp.float32), hidden)
-            tanh_c = jnp.tanh(c_ref[0].astype(jnp.float32))
-            do = dh * tanh_c
-            dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_carry
-            c_prev = jnp.where(at_t0, 0.0, cp_ref[0].astype(jnp.float32))
-            di, dg, df = dc * g, dc * i, dc * c_prev
-            dgates = jnp.concatenate(
-                [
-                    di * i * (1.0 - i),
-                    df * f * (1.0 - f),
-                    dg * (1.0 - g * g),
-                    do * o * (1.0 - o),
-                ],
-                axis=-1,
-            )
-            return dgates, dc * f
 
         # rows-contracting transposed matmul: [tile, A]ᵀ @ [tile, 4H]
         tdot = functools.partial(
@@ -519,36 +526,53 @@ def _make_bwd_kernel_fused(t_steps: int, d: int, d_total: int, d_pad: int):
             preferred_element_type=jnp.float32,
         )
 
-        # Layer 2 backward (fc backward fused: dh2 += dy @ fcWᵀ).
-        dh2_t = jnp.dot(
-            dy_ref[0].astype(mm), fcwt_ref[:], preferred_element_type=jnp.float32
-        ) + dh2[:]
-        dgates2, dc2_new = cell_bwd(dh2_t, g2_ref, c2_ref, c2p_ref, dc2[:])
-        dc2[:] = dc2_new
-        dg2_mm = dgates2.astype(mm)
-        dinp2 = jnp.dot(dg2_mm, w2t_ref[:], preferred_element_type=jnp.float32)
+        for si in range(sub_tiles):
+            rows = pl.ds(si * sub, sub)
+            # Layer 2 backward (fc backward fused: dh2 += dyᵀ @ fcWᵀ — dy is
+            # feature-major [O, tile], a sublane-contracting dot).
+            dh2_t = _tdot(dy_ref[0, :, rows].astype(mm), fcwt_ref[:]) + dh2[rows, :]
+            dgates2, dc2_new = _cell_bwd(
+                dh2_t, g2_ref[0, rows, :], c2_ref[0, rows, :],
+                c2p_ref[0, rows, :], dc2[rows, :], at_t0,
+            )
+            dc2[rows, :] = dc2_new
+            dg2_mm = dgates2.astype(mm)
+            dinp2 = jnp.dot(dg2_mm, w2t_ref[:],
+                            preferred_element_type=jnp.float32)
 
-        # layer-2 weight grads: inputs were [h1_t | h2_{t-1}]
-        h2_prev = jnp.where(at_t0, 0.0, h2p_ref[0].astype(jnp.float32))
-        dwih2_ref[:] += tdot(h1_ref[0].astype(mm), dg2_mm)
-        dwhh2_ref[:] += tdot(h2_prev.astype(mm), dg2_mm)
-        db2_ref[:] += jnp.sum(dgates2, axis=0, keepdims=True)
+            # layer-2 weight grads: inputs were [h1_t | h2_{t-1}]
+            h2_prev = jnp.where(at_t0, 0.0,
+                                h2p_ref[0, rows, :].astype(jnp.float32))
+            dwih2_ref[:] += tdot(h1_ref[0, rows, :].astype(mm), dg2_mm)
+            dwhh2_ref[:] += tdot(h2_prev.astype(mm), dg2_mm)
+            db2_ref[:] += jnp.sum(dgates2, axis=0, keepdims=True)
 
-        # Layer 1 backward.
-        dh1_t = dinp2[:, :hidden] + dh1[:]
-        dh2[:] = dinp2[:, hidden:]
-        dgates1, dc1_new = cell_bwd(dh1_t, g1_ref, c1_ref, c1p_ref, dc1[:])
-        dc1[:] = dc1_new
-        dg1_mm = dgates1.astype(mm)
-        dinp1 = jnp.dot(dg1_mm, w1t_ref[:], preferred_element_type=jnp.float32)
-        dx_ref[0] = dinp1[:, :d].astype(dx_ref.dtype)
-        dh1[:] = dinp1[:, d_total:]
+            # Layer 1 backward.
+            dh1_t = dinp2[:, :hidden] + dh1[rows, :]
+            dh2[rows, :] = dinp2[:, hidden:]
+            dgates1, dc1_new = _cell_bwd(
+                dh1_t, g1_ref[0, rows, :], c1_ref[0, rows, :],
+                c1p_ref[0, rows, :], dc1[rows, :], at_t0,
+            )
+            dc1[rows, :] = dc1_new
+            dg1_mm = dgates1.astype(mm)
+            dh1[rows, :] = jnp.dot(dg1_mm, u1t_ref[:],
+                                   preferred_element_type=jnp.float32)
+            # dx feature-major: [Dp, sub] = W₁x [Dp, 4H] · dgates₁ᵀ
+            dx_ref[0, :, rows] = jax.lax.dot_general(
+                w1x_ref[:], dg1_mm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dx_ref.dtype)
 
-        # layer-1 weight grads: inputs were [x_t (lane-padded) | h1_{t-1}]
-        h1_prev = jnp.where(at_t0, 0.0, h1p_ref[0].astype(jnp.float32))
-        dwih1_ref[:] += tdot(_lane_pad(x_ref[0], d_pad).astype(mm), dg1_mm)
-        dwhh1_ref[:] += tdot(h1_prev.astype(mm), dg1_mm)
-        db1_ref[:] += jnp.sum(dgates1, axis=0, keepdims=True)
+            # layer-1 weight grads: inputs were [x_t | h1_{t-1}]; the
+            # feature-major x block is ALREADY [Dp, rows] — a plain dot.
+            h1_prev = jnp.where(at_t0, 0.0,
+                                h1p_ref[0, rows, :].astype(jnp.float32))
+            dwih1_ref[:] += jnp.dot(x_ref[0, :, rows].astype(mm), dg1_mm,
+                                    preferred_element_type=jnp.float32)
+            dwhh1_ref[:] += tdot(h1_prev.astype(mm), dg1_mm)
+            db1_ref[:] += jnp.sum(dgates1, axis=0, keepdims=True)
 
     return _kernel
 
@@ -580,31 +604,35 @@ def _stacked_lstm2_train(params, x, fc, tile_n, interpret):
 
 
 def _train_fwd(params, x, fc, tile_n, interpret):
-    n, d, t = x.shape  # channel-major input; kernel blocks stay [T, N, D]
+    n, d, t = x.shape  # channel-major input, feature-major kernel blocks
     l1, _ = params["layers"]
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
     tile = _eff_tile(n, dtype, tile_n)
-    d_pad = -d % LANE
+    d_pad = _sublane_pad(d, dtype)
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.transpose(x, (2, 0, 1)), ((0, 0), (0, n_pad), (0, 0)))
+    x_fm = _feature_major(x, d_pad, n_pad)  # [T, Dp, N]
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
 
-    w1, b1, w2, b2 = _combined_weights(params, dtype, d_pad)
+    w1x, u1, b1, w2, b2 = _split_weights(params, dtype, d_pad)
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     block = lambda width: pl.BlockSpec(
         (1, tile, width), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM
     )
+    fm_block = lambda width: pl.BlockSpec(  # feature-major [T, width, N]
+        (1, width, tile), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+    )
     seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
     out, g1, c1, h1, g2, c2, h2 = pl.pallas_call(
-        functools.partial(_residual_kernel, d_pad),
+        _residual_kernel,
         grid=(n_total // tile, t),
         in_specs=[
-            block(d),
-            resident((d_total + hidden, 4 * hidden)),
+            fm_block(d_total),
+            resident((d_total, 4 * hidden)),
+            resident((hidden, 4 * hidden)),
             resident((1, 4 * hidden)),
             resident((2 * hidden, 4 * hidden)),
             resident((1, 4 * hidden)),
@@ -612,12 +640,12 @@ def _train_fwd(params, x, fc, tile_n, interpret):
             resident((1, out_dim)),
         ],
         out_specs=(
-            block(out_dim),
+            fm_block(out_dim),
             block(4 * hidden), block(hidden), block(hidden),
             block(4 * hidden), block(hidden), block(hidden),
         ),
         out_shape=(
-            seq_out(out_dim),
+            jax.ShapeDtypeStruct((t, out_dim, n_total), dtype),
             seq_out(4 * hidden), seq_out(hidden), seq_out(hidden),
             seq_out(4 * hidden), seq_out(hidden), seq_out(hidden),
         ),
@@ -630,10 +658,10 @@ def _train_fwd(params, x, fc, tile_n, interpret):
         ),
         interpret=interpret,
     )(
-        x_tm, w1, b1, w2, b2,
+        x_fm, w1x, u1, b1, w2, b2,
         fc["weight"].astype(dtype), fc["bias"].reshape(1, -1).astype(dtype),
     )
-    primal = jnp.swapaxes(out, 0, 1)[:n]
+    primal = jnp.transpose(out, (2, 0, 1))[:n]  # [T, O, N] -> [N, T, O]
     return primal, (params, x, fc, g1, c1, h1, g2, c2, h2)
 
 
@@ -647,38 +675,39 @@ FUSED_WGRAD = True
 # 192 on-chip (fits VMEM, n_total=4608 divides) — see docs/PERFORMANCE.md.
 BWD_ROW_TILE = None
 
+# Independent row chains per backward grid step (the reverse-sweep
+# dependency probe, VERDICT r4 #6): >1 splits the row tile so one chain's
+# VPU cell-backward overlaps another's MXU matmuls. Trace-time knob;
+# measured on-chip in scripts/exp_bwd_interleave.py — see
+# docs/PERFORMANCE.md for the verdict.
+BWD_SUB_TILES = 1
+
 
 def _train_bwd(tile_n, interpret, residuals, dy):
     params, x, fc, g1, c1, h1, g2, c2, h2 = residuals
-    n, d, t = x.shape  # channel-major input; kernel blocks stay [T, N, D]
+    n, d, t = x.shape  # channel-major input, feature-major kernel blocks
     l1, l2 = params["layers"]
     hidden = l1["w_hh"].shape[0]
     dtype = x.dtype
     tile = _eff_tile(n, dtype, tile_n)
-    d_pad = -d % LANE
+    d_pad = _sublane_pad(d, dtype)
     n_pad = -n % tile
-    x_tm = jnp.pad(jnp.transpose(x, (2, 0, 1)), ((0, 0), (0, n_pad), (0, 0)))
+    x_fm = _feature_major(x, d_pad, n_pad)  # [T, Dp, N]
     n_total, d_total = n + n_pad, d + d_pad
     out_dim = fc["weight"].shape[-1]
-    dy_tm = jnp.pad(
-        jnp.swapaxes(dy.astype(dtype), 0, 1), ((0, 0), (0, n_pad), (0, 0))
+    # dy feature-major [T, O, N]: O = 2 on lanes would physically pad the
+    # HBM array (and every per-step block DMA) 2 -> 128.
+    dy_fm = jnp.pad(
+        jnp.transpose(dy.astype(dtype), (1, 2, 0)), ((0, 0), (0, 0), (0, n_pad))
     )
 
-    w1, _, w2, _ = _combined_weights(params, dtype, d_pad)
+    w1x, u1, _, w2, _ = _split_weights(params, dtype, d_pad)
     fcwt = jnp.swapaxes(fc["weight"].astype(dtype), 0, 1)  # [O, H]
-    w1t = jnp.swapaxes(w1, 0, 1)  # [4H, Dp + H]
+    u1t = jnp.swapaxes(u1, 0, 1)  # [4H, H]
     w2t = jnp.swapaxes(w2, 0, 1)  # [4H, 2H]
 
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i, s: tuple(0 for _ in shape), memory_space=pltpu.VMEM
-    )
-    rev = lambda width: pl.BlockSpec(
-        (1, tile, width), lambda i, s: (t - 1 - s, i, 0), memory_space=pltpu.VMEM
-    )
-    prev = lambda width: pl.BlockSpec(
-        (1, tile, width),
-        lambda i, s: (jnp.maximum(t - 2 - s, 0), i, 0),
-        memory_space=pltpu.VMEM,
     )
     seq_out = lambda width: jax.ShapeDtypeStruct((t, n_total, width), dtype)
     f32 = jnp.float32
@@ -694,6 +723,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         btile = tile if tile <= 128 else tile // 2
         if BWD_ROW_TILE and n_total % BWD_ROW_TILE == 0:
             btile = BWD_ROW_TILE
+        sub_tiles = BWD_SUB_TILES if btile % max(BWD_SUB_TILES, 1) == 0 else 1
         rev_b = lambda width: pl.BlockSpec(
             (1, btile, width), lambda i, s: (t - 1 - s, i, 0),
             memory_space=pltpu.VMEM,
@@ -703,21 +733,26 @@ def _train_bwd(tile_n, interpret, residuals, dy):
             lambda i, s: (jnp.maximum(t - 2 - s, 0), i, 0),
             memory_space=pltpu.VMEM,
         )
+        rev_fm = lambda width: pl.BlockSpec(  # feature-major [T, width, N]
+            (1, width, btile), lambda i, s: (t - 1 - s, 0, i),
+            memory_space=pltpu.VMEM,
+        )
         facc = lambda shape: jax.ShapeDtypeStruct(shape, f32)
-        dx_tm, dwih1, dwhh1, db1, dwih2, dwhh2, db2 = pl.pallas_call(
-            _make_bwd_kernel_fused(t, d, d_total, d_pad),
+        dx_fm, dwih1, dwhh1, db1, dwih2, dwhh2, db2 = pl.pallas_call(
+            _make_bwd_kernel_fused(t, d, d_total, sub_tiles),
             grid=(n_total // btile, t),
             in_specs=[
-                rev_b(out_dim),
+                rev_fm(out_dim),
                 rev_b(4 * hidden), rev_b(hidden), prev_b(hidden),
                 rev_b(4 * hidden), rev_b(hidden), prev_b(hidden),
-                rev_b(d), rev_b(hidden), prev_b(hidden), prev_b(hidden),
+                rev_fm(d_total), rev_b(hidden), prev_b(hidden), prev_b(hidden),
                 resident((out_dim, hidden)),
                 resident((4 * hidden, 2 * hidden)),
-                resident((4 * hidden, d_total + hidden)),
+                resident((4 * hidden, hidden)),
+                resident((d_total, 4 * hidden)),
             ],
             out_specs=(
-                rev_b(d),
+                rev_fm(d_total),
                 resident((d_total, 4 * hidden)),
                 resident((hidden, 4 * hidden)),
                 resident((1, 4 * hidden)),
@@ -726,7 +761,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 resident((1, 4 * hidden)),
             ),
             out_shape=(
-                seq_out(d),
+                jax.ShapeDtypeStruct((t, d_total, n_total), dtype),
                 facc((d_total, 4 * hidden)),
                 facc((hidden, 4 * hidden)),
                 facc((1, 4 * hidden)),
@@ -746,7 +781,8 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 transcendentals=n_total * t * 2 * hidden,
             ),
             interpret=interpret,
-        )(dy_tm, g1, c1, c1, g2, c2, c2, x_tm, h1, h1, h2, fcwt, w2t, w1t)
+        )(dy_fm, g1, c1, c1, g2, c2, c2, x_fm, h1, h1, h2,
+          fcwt, w2t, u1t, w1x)
         db1, db2 = db1[0], db2[0]
         dparams = {
             "layers": [
@@ -765,16 +801,34 @@ def _train_bwd(tile_n, interpret, residuals, dy):
             ]
         }
     else:
+        # Einsum fallback: the combined [W₁;U₁]ᵀ matmul needs the lane-
+        # padded transposed weight; only this path builds it.
+        w1, _, _, _ = _combined_weights(params, dtype, -d % LANE)
+        w1t = jnp.swapaxes(w1, 0, 1)  # [4H, D_lane + H]
+        d_lane = w1t.shape[1] - hidden
+        rev = lambda width: pl.BlockSpec(
+            (1, tile, width), lambda i, s: (t - 1 - s, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        prev = lambda width: pl.BlockSpec(
+            (1, tile, width),
+            lambda i, s: (jnp.maximum(t - 2 - s, 0), i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        rev_fm_t = lambda width: pl.BlockSpec(
+            (1, width, tile), lambda i, s: (t - 1 - s, 0, i),
+            memory_space=pltpu.VMEM,
+        )
         dg1, dg2, dx_tm = pl.pallas_call(
-            _make_bwd_kernel(t, d, d_total),
+            _make_bwd_kernel(t, d, d_lane),
             grid=(n_total // tile, t),
             in_specs=[
-                rev(out_dim),
+                rev_fm_t(out_dim),
                 rev(4 * hidden), rev(hidden), prev(hidden),
                 rev(4 * hidden), rev(hidden), prev(hidden),
                 resident((out_dim, hidden)),
                 resident((4 * hidden, 2 * hidden)),
-                resident((4 * hidden, d_total + hidden)),
+                resident((4 * hidden, d_lane + hidden)),
             ],
             out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d)),
             out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d)),
@@ -782,14 +836,14 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * n_total * t * (3 * hidden + d_total + out_dim)
+                flops=2 * n_total * t * (3 * hidden + d_lane + out_dim)
                 * 4 * hidden,
-                bytes_accessed=n_total * t * (20 * hidden + d_total + out_dim)
+                bytes_accessed=n_total * t * (20 * hidden + d_lane + out_dim)
                 * x.dtype.itemsize,
                 transcendentals=n_total * t * 2 * hidden,
             ),
             interpret=interpret,
-        )(dy_tm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
+        )(dy_fm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
 
         # Weight gradients: whole-sequence contractions, no recurrence —
         # plain XLA einsums on the MXU. h_prev sequences are the saved h
@@ -802,7 +856,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         dparams = {
             "layers": [
                 {
-                    "w_ih": cast(ein("tnd,tng->dg", x_tm, dg1), l1["w_ih"]),
+                    "w_ih": cast(ein("tdn,tng->dg", x_fm, dg1)[:d], l1["w_ih"]),
                     "w_hh": cast(ein("tnh,tng->hg", h1p, dg1), l1["w_hh"]),
                     "b_ih": cast(db1, l1["b_ih"]),
                     "b_hh": cast(db1, l1["b_hh"]),
@@ -815,12 +869,15 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 },
             ]
         }
+        dx = cast(jnp.transpose(dx_tm, (1, 2, 0))[:n], x)  # [N, D, T]
 
+    if FUSED_WGRAD:
+        # [T, Dp, N] -> [N, D, T], dropping the sublane-pad feature rows.
+        dx = cast(jnp.transpose(dx_fm, (2, 1, 0))[:n, :d], x)
     dfc = {
-        "weight": cast(ein("tnh,tno->ho", h2, dy_tm), fc["weight"]),
-        "bias": cast(ein("tno->o", dy_tm), fc["bias"]),
+        "weight": cast(ein("tnh,ton->ho", h2, dy_fm), fc["weight"]),
+        "bias": cast(ein("ton->o", dy_fm), fc["bias"]),
     }
-    dx = cast(jnp.transpose(dx_tm, (1, 2, 0))[:n], x)  # back to [N, D, T]
     return dparams, dx, dfc
 
 
@@ -912,6 +969,36 @@ def _quantize_per_column(w):
     return wq, scale.astype(jnp.float32).reshape(1, -1)
 
 
+def prepare_quantized_lstm(params):
+    """BUILD-TIME int8 quantization of the recurrent weights (r5, VERDICT
+    r4 #3): numpy-only (no device dispatch at engine construction —
+    CLAUDE.md), producing the exact arrays the per-call path would compute
+    (same fp32 math, round-half-even, the 1/H_QUANT_SCALE dequant fold
+    included in the scales). Attach the result as params["int8_prepared"]
+    and `stacked_lstm2_quantized` skips its in-graph quantization — at the
+    streaming fold shape the per-call quantize/pad chain is serial latency
+    ahead of the kernel that the big batch-96 fold amortizes but a
+    single-stream chunk does not (docs/PERFORMANCE.md int8 streaming
+    probe)."""
+    import numpy as np
+
+    l1, l2 = params["layers"]
+
+    def q(w):
+        w = np.asarray(w).astype(np.float32)
+        amax = np.abs(w).max(axis=0)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return wq, (scale / H_QUANT_SCALE).reshape(1, -1)
+
+    u1q, s1 = q(l1["w_hh"])
+    w2q, s2 = q(np.concatenate(
+        [np.asarray(l2["w_ih"]).astype(np.float32),
+         np.asarray(l2["w_hh"]).astype(np.float32)], axis=0
+    ))
+    return {"u1q": u1q, "s1": s1, "w2q": w2q, "s2": s2}
+
+
 def _make_quant_kernel():
     def _kernel(x_ref, w1x_ref, u1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                 fcw_ref, fcb_ref, out_ref, h1, c1, h2, c2):
@@ -994,10 +1081,20 @@ def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
     w1x = jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0)))
     b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(jnp.float32)
     b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(jnp.float32)
-    u1q, s1 = _quantize_per_column(l1["w_hh"])
-    w2q, s2 = _quantize_per_column(jnp.concatenate([l2["w_ih"], l2["w_hh"]], axis=0))
-    s1 = s1 / H_QUANT_SCALE  # fold the h scale into the dequant multiplier
-    s2 = s2 / H_QUANT_SCALE
+    prepared = params.get("int8_prepared")
+    if prepared is not None:
+        # Build-time quantization (prepare_quantized_lstm): the int8
+        # weights and folded scales arrive as plain kernel inputs — no
+        # serial quantize chain ahead of the sweep.
+        u1q, s1 = prepared["u1q"], prepared["s1"]
+        w2q, s2 = prepared["w2q"], prepared["s2"]
+    else:
+        u1q, s1 = _quantize_per_column(l1["w_hh"])
+        w2q, s2 = _quantize_per_column(
+            jnp.concatenate([l2["w_ih"], l2["w_hh"]], axis=0)
+        )
+        s1 = s1 / H_QUANT_SCALE  # fold the h scale into the dequant multiplier
+        s2 = s2 / H_QUANT_SCALE
     out_dim = fc["weight"].shape[-1]
 
     resident = lambda shape: pl.BlockSpec(

@@ -111,6 +111,34 @@ def test_pallas_train_vjp_bwd_row_tile_knob(rng, monkeypatch):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_train_vjp_bwd_sub_tiles_knob(rng, monkeypatch):
+    """BWD_SUB_TILES (the reverse-sweep interleave probe, VERDICT r4 #6)
+    splits each backward grid step into independent row chains — pure
+    scheduling, so gradients must match the default exactly."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops import lstm_pallas as lp
+
+    n, t, d, h, o = 48, 7, 12, 16, 2
+    params = lstm_init(jax.random.PRNGKey(32), d, h, 2)
+    fc = linear_init(jax.random.PRNGKey(33), h, o)
+    x = jnp.asarray((rng.standard_normal((n, t, d)) * 0.5).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((n, t, o)).astype(np.float32))
+
+    def loss(params, x, fc):
+        return jnp.sum(
+            lp.stacked_lstm2_train(params, jnp.swapaxes(x, 1, 2), fc, 48, True) * dy
+        )
+
+    with jax.default_matmul_precision("highest"):
+        g_default = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+        monkeypatch.setattr(lp, "BWD_SUB_TILES", 2)
+        g_knob = jax.grad(loss, argnums=(0, 1, 2))(params, x, fc)
+    for a, b in zip(jax.tree_util.tree_leaves(g_default),
+                    jax.tree_util.tree_leaves(g_knob)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_pallas_train_vjp_einsum_fallback(rng, monkeypatch):
     """FUSED_WGRAD=False restores the dgates-materializing einsum weight
     grads; both paths must produce the same gradients."""
@@ -259,6 +287,53 @@ def test_pallas_quantized_kernel_snr(rng):
     assert out.shape == ref.shape and np.isfinite(out).all()
     snr = 10 * np.log10((ref**2).sum() / (((ref - out) ** 2).sum() + 1e-20))
     assert snr > 30.0, f"quantized kernel SNR {snr:.1f} dB"
+
+
+def test_pallas_quantized_build_time_prep_matches(rng):
+    """Build-time quantization (prepare_quantized_lstm, r5): attaching the
+    numpy-precomputed int8 weights/scales as params["int8_prepared"] must
+    be the same quantization to within one quantum (XLA rewrites the
+    in-graph w/scale division as a reciprocal multiply, so a few
+    near-half-way elements round one int apart from numpy's exact
+    division) and produce outputs at the same quantized-kernel accuracy."""
+    from fullsubnet_plus_tpu.nn.init import linear_init
+    from fullsubnet_plus_tpu.ops.lstm_pallas import (
+        _quantize_per_column,
+        prepare_quantized_lstm,
+        stacked_lstm2_quantized,
+    )
+
+    params = lstm_init(jax.random.PRNGKey(40), 34, 64, 2)
+    fc = linear_init(jax.random.PRNGKey(41), 64, 2)
+    x = jnp.asarray((rng.standard_normal((48, 11, 34)) * 0.5).astype(np.float32))
+    xc = jnp.swapaxes(x, 1, 2)
+    per_call = np.asarray(stacked_lstm2_quantized(params, xc, fc, 48, True))
+
+    prep = prepare_quantized_lstm(params)
+    u1q_graph, s1_graph = _quantize_per_column(params["layers"][0]["w_hh"])
+    np.testing.assert_allclose(np.asarray(s1_graph) / 127.0, prep["s1"],
+                               rtol=1e-6)
+    assert np.abs(prep["u1q"].astype(np.int32)
+                  - np.asarray(u1q_graph, np.int32)).max() <= 1
+
+    prepped = dict(params)
+    prepped["int8_prepared"] = {
+        k: jnp.asarray(v) for k, v in prep.items()
+    }
+    build_time = np.asarray(stacked_lstm2_quantized(prepped, xc, fc, 48, True))
+    # both are valid int8 quantizations; outputs agree at the kernel's own
+    # quantization-noise scale
+    np.testing.assert_allclose(per_call, build_time, atol=2e-3, rtol=2e-3)
+
+    # the Enhancer attaches it for every 2-layer LSTM at int8 build
+    from fullsubnet_plus_tpu.enhance import _attach_int8_prepared
+
+    tree = {"sb_model": {"seq": params, "fc_output_layer": fc},
+            "other": {"w": jnp.zeros((3, 3))}}
+    out = _attach_int8_prepared(tree)
+    assert "int8_prepared" in out["sb_model"]["seq"]
+    assert out["sb_model"]["seq"]["int8_prepared"]["u1q"].dtype == jnp.int8
+    assert "int8_prepared" not in tree["sb_model"]["seq"]  # original untouched
 
 
 def test_pallas_quantized_sharded_mesh_matches(rng):
