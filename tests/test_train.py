@@ -389,6 +389,81 @@ def test_loss_curve_parity_vs_reference(ref_setup, rng):
 
 
 @pytest.mark.slow
+def test_loss_curve_parity_full_size(rng):
+    """Full-size (257-bin, 8.67 M-param) Adam-trajectory parity, 8 steps
+    (VERDICT r4 #7): the 50-step curve above runs on a shrunken 33-bin
+    model; this closes the gap between "the step math matches" and "the
+    SHIPPED shape's trajectory matches" — full hidden sizes, the real
+    drop_band fold (N = 3·128), the real unfold widths. Short (8 steps,
+    B=3, 1.024 s clips) because full-size torch-CPU steps are expensive;
+    measured table in docs/PARITY.md "Full-size trajectory"."""
+    if "librosa" not in sys.modules:
+        sys.modules["librosa"] = types.ModuleType("librosa")
+    for p in (REFERENCE, "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from fullsubnet_plus.model.fullsubnet_plus import FullSubNet_Plus
+    from audio_zen.acoustics.mask import build_complex_ideal_ratio_mask as t_cirm
+    from audio_zen.acoustics.feature import drop_band as t_drop
+    from fullsubnet_plus_tpu.io.torch_convert import convert_fullsubnet_plus
+
+    torch.manual_seed(13)
+    tmodel = FullSubNet_Plus(
+        num_freqs=257, look_ahead=2, sequence_model="LSTM",
+        fb_num_neighbors=0, sb_num_neighbors=15,
+        fb_output_activate_function="ReLU", sb_output_activate_function=False,
+        fb_model_hidden_size=512, sb_model_hidden_size=384,
+        channel_attention_model="TSSE", norm_type="offline_laplace_norm",
+        num_groups_in_drop_band=2, kersize=[3, 5, 10], subband_num=1,
+        weight_init=False,
+    ).train()
+    init_sd = {k: v.detach().clone() for k, v in tmodel.state_dict().items()}
+
+    n_steps, B, L = 8, 3, 16384
+    batches = [
+        (rng.standard_normal((B, L)).astype(np.float32) * 0.1,)
+        for _ in range(n_steps)
+    ]
+    batches = [(n, (0.8 * n + 0.02 * rng.standard_normal((B, L))
+                    ).astype(np.float32)) for (n,) in batches]
+
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    win = torch.hann_window(512)
+    torch_losses = []
+    for noisy, clean in batches:
+        opt.zero_grad()
+        nc = torch.stft(torch.from_numpy(noisy), 512, 256, 512, window=win,
+                        return_complex=True)
+        cc = torch.stft(torch.from_numpy(clean), 512, 256, 512, window=win,
+                        return_complex=True)
+        gt = t_drop(t_cirm(nc, cc).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1)
+        crm = tmodel(nc.abs().unsqueeze(1), nc.real.unsqueeze(1),
+                     nc.imag.unsqueeze(1)).permute(0, 2, 3, 1)
+        loss = torch.nn.functional.mse_loss(gt, crm)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), 10)
+        opt.step()
+        torch_losses.append(loss.item())
+
+    params = convert_fullsubnet_plus(init_sd)
+    optimizer = make_optimizer(lr=1e-3, clip_grad_norm=10.0)
+    state = init_train_state(params, optimizer)
+    jax_losses = []
+    with jax.default_matmul_precision("highest"):
+        step = make_train_step(FULLSUBNET_PLUS, CFG, optimizer, mse_loss)
+        for noisy, clean in batches:
+            state, metrics = step(state, noisy, clean)
+            jax_losses.append(float(metrics["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    jax_losses = np.asarray(jax_losses)
+    print("full-size curve torch:", torch_losses.tolist())
+    print("full-size curve jax:  ", jax_losses.tolist())
+    assert torch_losses[-1] < torch_losses[0]  # learning, not noise
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_adam_state_interop_both_directions(rng, tmp_path):
     """Optimizer-state checkpoint interop (VERDICT r2 missing #5), both ways.
 
