@@ -88,6 +88,43 @@ def _reflect_fix_tail(noisy, lengths, n_fft, hop):
     return ext[:, : noisy.shape[1] + pad_ext]
 
 
+def _attach_int8_prepared(params):
+    """Quantize every 2-layer-LSTM sequence model's recurrent weights at
+    ENGINE BUILD TIME (ops/lstm_pallas.py prepare_quantized_lstm) and
+    attach them under the seq dict's "int8_prepared" key, where the
+    quantized serving kernel finds them — the int8 weights/scales then
+    enter the jitted program as plain inputs instead of a per-call
+    quantize chain serialized ahead of the kernel (r5, VERDICT r4 #3).
+    Walks the tree so both FullSubNet+ (sb_model) and the baseline
+    FullSubNet (fb_model AND sb_model LSTMs) get covered."""
+    from fullsubnet_plus_tpu.ops.lstm_pallas import prepare_quantized_lstm
+
+    def is_lstm2(seq):
+        layers = seq.get("layers") if isinstance(seq, dict) else None
+        if not isinstance(layers, (list, tuple)) or len(layers) != 2:
+            return False
+        l1 = layers[0]
+        return (
+            isinstance(l1, dict) and "w_hh" in l1
+            and l1["w_hh"].shape[-1] == 4 * l1["w_hh"].shape[0]  # LSTM gates
+        )
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {k: walk(v) for k, v in tree.items()}
+        seq = out.get("seq")
+        if is_lstm2(seq):
+            out["seq"] = dict(seq)
+            out["seq"]["int8_prepared"] = {
+                k: jnp.asarray(v)
+                for k, v in prepare_quantized_lstm(seq).items()
+            }
+        return out
+
+    return walk(params)
+
+
 class Enhancer:
     """Batched, jit-cached enhancement over a model definition.
 
@@ -119,6 +156,7 @@ class Enhancer:
 
                 model_config = dataclasses.replace(model_config, quantized_lstm=True)
                 self.model_config = model_config
+                params = _attach_int8_prepared(params)
         self.params = params
         self.inference_type = inference_type
         self.n_fft, self.hop, self.win = n_fft, hop_length, win_length
