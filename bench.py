@@ -369,7 +369,12 @@ def bench_serve(args):
 
     Reported metric: concurrent real-time streams per chip (floor), with
     the per-chunk added latency (= tick wall) in the JSON for the latency
-    story. --batch sets S (default 64, the serving batch)."""
+    story. --batch sets S (default 64, the serving batch).
+
+    r5: the same min-over-rounds discipline as the enhance/train modes —
+    `--rounds` independently timed regions in one process, best round
+    reported, spread in the JSON (single-region runs measured 158-209
+    streams on identical code purely from tunnel noise)."""
     import jax
 
     from fullsubnet_plus_tpu.models import FULLSUBNET_PLUS
@@ -423,9 +428,14 @@ def bench_serve(args):
             finish(pending.pop(0))
 
     run(args.warmup, 0)
-    t0 = time.perf_counter()
-    run(ticks, args.warmup)
-    tick_wall = (time.perf_counter() - t0) / ticks
+    walls = []
+    start = args.warmup
+    for _ in range(max(1, args.rounds)):
+        t0 = time.perf_counter()
+        run(ticks, start)
+        walls.append((time.perf_counter() - t0) / ticks)
+        start += ticks
+    tick_wall = min(walls)  # best round = least tunnel pollution
 
     hop_s = hop / sr
     # Per-chip number: the measured work ran on one device, so no scaling by
@@ -440,6 +450,8 @@ def bench_serve(args):
                 "tick_wall_s": round(tick_wall, 4),
                 "streams_per_tick": streams,
                 "added_latency_s": round(tick_wall, 4),
+                "spread": round(max(walls) / min(walls) - 1.0, 4),
+                "rounds": [round(streams * hop_s / w, 1) for w in walls],
                 # same denominator as the other modes, in stream units:
                 # 8 x 2.83 audio-s/s = 22.6 concurrent real-time streams
                 "vs_baseline": round(capacity / 22.6, 2),
