@@ -23,7 +23,9 @@ scales keep the quantization noise under the bf16 mantissa noise already
 present. Measured on v5e with the feature-sublane-major input layout
 (ops/lstm_pallas.py _feature_major, r4): int8 batch-96 ≈2748, batch-64
 ≈2720, batch-128 ≈2735, bf16 batch-64 ≈2194 audio-s/s/chip (pre-layout:
-int8-64 2340, bf16-64 2082; batch 96+ used to OOM outright). `--dtype
+int8-64 2340, bf16-64 2082; batch 96+ used to OOM outright). r5 adds
+feature-major OUTPUT blocks (O=2 on sublanes instead of lane-padded
+2->128): int8 batch-96 ≈3027 (+9.8 %, spread 0.08 %). `--dtype
 bfloat16` / `--dtype float32 --batch 32` reproduce the other rows.
 
 Dispatch discipline: iterations are queued ahead (dispatched back-to-back,

@@ -183,11 +183,15 @@ def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: in
                 h2[rows, :] = h2_new.astype(h2.dtype)
                 c2[rows, :] = c2_new.astype(c2.dtype)
                 if fused_fc:
-                    y = jnp.dot(
-                        h2_new.astype(mm), fcw_ref[:],
+                    # y written transposed ([O, rows]) so the out block is
+                    # feature-major: O = 2 on the lane axis would pad the
+                    # HBM array (and every write DMA) 2 -> 128.
+                    y = jax.lax.dot_general(
+                        fcw_ref[:], h2_new.astype(mm),
+                        dimension_numbers=(((0,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) + fcb_ref[0].astype(jnp.float32)
-                    out_ref[k, rows, :] = y.astype(out_ref.dtype)
+                    ) + fcb_ref[0].astype(jnp.float32)[:, None]
+                    out_ref[k, :, rows] = y.astype(out_ref.dtype)
                 else:
                     out_ref[k, rows, :] = h2_new.astype(out_ref.dtype)
 
@@ -267,16 +271,24 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
         args += [fc["weight"].astype(dtype),
                  fc["bias"].reshape(1, -1).astype(dtype)]
         in_specs += [resident((hidden, out_dim)), resident((1, out_dim))]
+        # feature-major out [T, O, N] (O on sublanes — see the kernel)
+        out_spec = pl.BlockSpec((steps_per_block, out_dim, tile_n),
+                                lambda i, s: (s, 0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((t_total, out_dim, n_total), dtype)
     else:
         out_dim = hidden
+        out_spec = pl.BlockSpec((steps_per_block, tile_n, out_dim),
+                                lambda i, s: (s, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((t_total, n_total, out_dim), dtype)
 
     out = pl.pallas_call(
         _make_kernel(steps_per_block, sub_tiles, fc is not None, d_pad),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((steps_per_block, tile_n, out_dim), lambda i, s: (s, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_total, n_total, out_dim), dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_n, hidden), jnp.float32),
             pltpu.VMEM((tile_n, hidden), jnp.float32),
@@ -294,6 +306,8 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
         ),
         interpret=interpret,
     )(*args)
+    if fc is not None:
+        return jnp.transpose(out[:t], (2, 0, 1))[:n]  # [T, O, N] -> [N, T, O]
     return jnp.swapaxes(out[:t], 0, 1)[:n]
 
 
@@ -1048,9 +1062,13 @@ def _make_quant_kernel():
         h2[:] = quant_h(h2_new)
         c2[:] = c2_new
 
-        y = jnp.dot(
-            h2_new.astype(fcw_ref.dtype), fcw_ref[:], preferred_element_type=f32
-        ) + fcb_ref[0].astype(f32)
+        # y written transposed ([O, tile]): feature-major out block, O = 2
+        # on sublanes instead of lane-padded 2 -> 128 (see _make_kernel).
+        y = jax.lax.dot_general(
+            fcw_ref[:], h2_new.astype(fcw_ref.dtype),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) + fcb_ref[0].astype(f32)[:, None]
         out_ref[0] = y.astype(out_ref.dtype)
 
     return _kernel
@@ -1116,9 +1134,9 @@ def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
             resident((hidden, out_dim)),
             resident((1, out_dim)),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, out_dim), lambda i, s: (s, i, 0),
+        out_specs=pl.BlockSpec((1, out_dim, tile_n), lambda i, s: (s, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n_total, out_dim), dtype),
+        out_shape=jax.ShapeDtypeStruct((t, out_dim, n_total), dtype),
         scratch_shapes=[
             pltpu.VMEM((tile_n, hidden), jnp.int8),
             pltpu.VMEM((tile_n, hidden), jnp.float32),
@@ -1133,7 +1151,7 @@ def stacked_lstm2_quantized(params, x, fc, tile_n: int = 256,
         interpret=interpret,
     )(x_tm, w1x, u1q, s1, b1, w2q, s2, b2,
       fc["weight"].astype(dtype), fc["bias"].reshape(1, -1).astype(jnp.float32))
-    return jnp.swapaxes(out[:t], 0, 1)[:n]
+    return jnp.transpose(out[:t], (2, 0, 1))[:n]  # [T, O, N] -> [N, T, O]
 
 
 def stacked_lstm2_quantized_sharded(params, x, fc, axes, tile_n: int = 256,
