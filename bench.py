@@ -280,7 +280,11 @@ def bench_streaming(args):
     from fullsubnet_plus_tpu.models.fullsubnet_plus import FullSubNetPlusConfig
     from fullsubnet_plus_tpu.enhance import Enhancer
 
-    args.dtype = "bfloat16" if args.dtype is None else args.dtype
+    # int8 default (r5): with build-time quantization + the feature-major
+    # out blocks, int8 wins the single-stream latency path outright
+    # (34.3 vs 35.7 ms p50 — docs/PERFORMANCE.md), matching the daemon's
+    # default. `--dtype bfloat16`/`float32` remain for the parity story.
+    args.dtype = "int8" if args.dtype is None else args.dtype
     args.iters = 3 if args.iters is None else args.iters
     seconds = 60.0 if args.seconds == 10.0 else args.seconds  # longer default
 
