@@ -13,7 +13,7 @@ audio-s/s on the author's unstated hardware). BASELINE.json's target is
 vs_baseline against 8 × 2.83 = 22.6 audio-s/s — i.e. vs_baseline ≥ 1 means
 the per-chip target against the only measurable reference datapoint is met.
 
-Default config is the TPU serving configuration: batch 96, bfloat16 model
+Default config is the TPU serving configuration: batch 160, bfloat16 model
 compute with fp32 STFT/cIRM/iSTFT math, and the sub-band LSTM's recurrent
 products on the int8 MXU (ops/lstm_pallas.py stacked_lstm2_quantized).
 int8 costs NO additional waveform error over bf16 at the full model size:
@@ -25,7 +25,8 @@ present. Measured on v5e with the feature-sublane-major input layout
 ≈2720, batch-128 ≈2735, bf16 batch-64 ≈2194 audio-s/s/chip (pre-layout:
 int8-64 2340, bf16-64 2082; batch 96+ used to OOM outright). r5 adds
 feature-major OUTPUT blocks (O=2 on sublanes instead of lane-padded
-2->128): int8 batch-96 ≈3027 (+9.8 %, spread 0.08 %). `--dtype
+2->128): int8 batch-96 ≈3027 (+9.8 %, spread 0.08 %), and the freed HBM
+moves the knee to batch 160 ≈3081 (the new default). `--dtype
 bfloat16` / `--dtype float32 --batch 32` reproduce the other rows.
 
 Dispatch discipline: iterations are queued ahead (dispatched back-to-back,
@@ -116,7 +117,10 @@ def main():
     if args.mode == "serve":
         return bench_serve(args)
     args.dtype = "int8" if args.dtype is None else args.dtype
-    args.batch = 96 if args.batch is None else args.batch
+    # 160 is the measured knee on the r5 out-block tree (96: 3030,
+    # 128: 3044, 160: 3081, 192: 2998, 256: 2956 a-s/s — the feature-major
+    # out blocks freed the HBM the old knee was pinned by).
+    args.batch = 160 if args.batch is None else args.batch
     args.iters = 4 if args.iters is None else args.iters
 
     import jax
