@@ -256,24 +256,49 @@ class StreamServer:
             self.stop()
         return self.exit_code
 
-    def _graceful_drain(self) -> None:
+    def _graceful_drain(self, join_timeout: float = 10.0) -> None:
         """Drain and release every live stream cleanly (SIGTERM path).
 
         1. Close the listening socket — no new streams.
-        2. Under the serving lock, run the engine dry: finalize the
-           pipelined in-flight dispatches and enhance every chunk that is
-           already ready (serve.StreamingEngine.drain), then pull each
-           stream's output.
-        3. Send each client its remaining enhanced frames; a stream whose
+        2. Stop and JOIN the ticker (it sends on client sockets outside
+           the engine lock; flushing concurrently would interleave two
+           sendall()s on one connection and corrupt the framing).
+        3. Run the engine dry: finalize the pipelined in-flight dispatches
+           and enhance every chunk that is already ready
+           (serve.StreamingEngine.drain), then pull each stream's output.
+        4. Send each client its remaining enhanced frames; a stream whose
            audio fully completed gets the true completion frame, every
            other gets the protocol's clean abort (EOF WITHOUT the
-           completion frame) — never a mid-frame cut."""
+           completion frame) — never a mid-frame cut.
+
+        If the ticker is WEDGED inside a device call (the stall-watchdog
+        scenario — it may hold the serving lock forever), the bounded join
+        fails and we fall back to aborting every connection without
+        touching the engine: SIGTERM must always terminate the daemon
+        (the old pre-drain guarantee)."""
         self.log("[serve] graceful shutdown: draining in-flight work")
         try:
             self._sock.close()
         except OSError:
             pass
-        with self._lock:
+        self._stop.set()  # ends the ticker loop at its next wait
+        ticker_dead = True
+        for t in self._threads:
+            t.join(timeout=join_timeout)
+            if t.is_alive():
+                ticker_dead = False
+        if not ticker_dead or not self._lock.acquire(timeout=join_timeout):
+            # Ticker wedged in a device call (possibly holding the lock):
+            # no clean drain is possible — abort every client now so the
+            # daemon still dies (threads are daemonic).
+            self.log("[serve] ticker wedged during shutdown: aborting "
+                     "streams without drain")
+            conns = list(self._conns.items())
+            self._conns.clear()
+            for _sid, conn in conns:
+                _abort_conn(conn)
+            return
+        try:
             try:
                 self.engine.drain()
             except Exception as e:  # poisoned backend mid-drain: still
@@ -285,6 +310,8 @@ class StreamServer:
                 (sid, conn, self.engine.pull(sid), self.engine.is_done(sid))
                 for sid, conn in conns
             ]
+        finally:
+            self._lock.release()
         for sid, conn, out, done in flushes:
             try:
                 if len(out):
@@ -367,7 +394,10 @@ class StreamServer:
                 return None
 
         def _loop(last=_sig()):
-            while not self._stop.wait(interval):
+            failures = 0
+            while not self._stop.wait(
+                interval * min(2 ** failures, 32)  # exp backoff on failure
+            ):
                 sig = _sig()
                 if sig is None or sig == last:
                     continue
@@ -375,12 +405,19 @@ class StreamServer:
                 if "error" in resp:
                     # Do NOT advance `last`: a transiently failed reload
                     # (backend hiccup, checkpoint replaced mid-load) retries
-                    # on the next poll instead of silently serving a stale
+                    # on a later poll instead of silently serving a stale
                     # model until the NEXT publish (r4 advisor finding).
+                    # Exponential backoff (capped 32x): a PERSISTENTLY bad
+                    # checkpoint must not hammer the remote compile service
+                    # with a minutes-long build+warmup every poll while
+                    # holding the reload lock.
+                    failures += 1
+                    retry_s = interval * min(2 ** failures, 32)
                     self.log(f"[serve] watch: reload failed, still serving "
-                             f"the previous model (will retry in "
-                             f"{interval:g}s): {resp['error']}")
+                             f"the previous model (retry in {retry_s:g}s): "
+                             f"{resp['error']}")
                     continue
+                failures = 0
                 # `sig` is the PRE-reload stat: if the file changed again
                 # mid-reload, the next poll sees a newer signature and
                 # reloads again rather than skipping that publish.
@@ -401,9 +438,15 @@ class StreamServer:
         if self._reload_restricted:
             import os
 
-            base = os.path.dirname(
-                os.path.realpath(self.checkpoint_path or "")
-            )
+            if not self.checkpoint_path:
+                # No checkpoint to anchor the restriction to: refuse
+                # outright rather than deriving a base from "" (realpath("")
+                # is the CWD — for a daemon with cwd=/ that would allow ANY
+                # path, silently voiding the guard).
+                return {"error": "reload refused: daemon is bound to a "
+                        "non-loopback interface and has no serving "
+                        "checkpoint path to restrict reloads to"}
+            base = os.path.dirname(os.path.realpath(self.checkpoint_path))
             target = os.path.realpath(path)
             try:
                 inside = base and os.path.commonpath([base, target]) == base
@@ -668,23 +711,46 @@ def supervise_serve(child_argv, max_restarts: int = 3, log=print,
     the relaunched daemon re-warms the device program before accepting.
 
     Kill discipline per CLAUDE.md: the supervisor never signals by pattern;
-    it only ever waits on the exact child it spawned."""
+    it only ever waits on the exact child it spawned. A SIGTERM sent to
+    the SUPERVISOR forwards to that exact child pid, so `kill <pid>` on
+    the process the operator launched drives the daemon's graceful drain
+    and the supervisor exits with the child's clean 0 — instead of dying
+    around a still-serving orphan that holds the port."""
+    import signal
+    import threading as _threading
+
     attempt = 0
     prefix = launcher or [sys.executable, "-m", "fullsubnet_plus_tpu.cli.serve"]
-    while True:
-        child = subprocess.Popen(list(prefix) + list(child_argv))
-        log(f"[serve-supervisor] attempt {attempt}: launched pid {child.pid}")
-        rc = child.wait()
-        if rc == 0:
-            log("[serve-supervisor] clean shutdown")
-            return 0
-        if attempt >= max_restarts:
-            log(f"[serve-supervisor] giving up after {attempt} restart(s) "
-                f"(exit {rc})")
-            return rc
-        attempt += 1
-        log(f"[serve-supervisor] exit {rc}: relaunching "
-            f"({attempt}/{max_restarts})")
+    live = {"child": None}
+
+    def _forward(signum, frame):
+        c = live["child"]
+        if c is not None and c.poll() is None:
+            c.send_signal(signal.SIGTERM)  # exact pid only
+
+    prev_term = None
+    if _threading.current_thread() is _threading.main_thread():
+        prev_term = signal.signal(signal.SIGTERM, _forward)
+    try:
+        while True:
+            child = subprocess.Popen(list(prefix) + list(child_argv))
+            live["child"] = child
+            log(f"[serve-supervisor] attempt {attempt}: launched pid "
+                f"{child.pid}")
+            rc = child.wait()
+            if rc == 0:
+                log("[serve-supervisor] clean shutdown")
+                return 0
+            if attempt >= max_restarts:
+                log(f"[serve-supervisor] giving up after {attempt} "
+                    f"restart(s) (exit {rc})")
+                return rc
+            attempt += 1
+            log(f"[serve-supervisor] exit {rc}: relaunching "
+                f"({attempt}/{max_restarts})")
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
 
 
 def main(argv=None) -> None:

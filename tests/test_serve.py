@@ -837,6 +837,111 @@ def test_reload_restricted_on_non_loopback_bind(tmp_path):
         server.stop()
 
 
+def test_graceful_drain_wedged_ticker_still_exits():
+    """If the ticker is wedged inside a device call (possibly holding the
+    serving lock — the stall-watchdog scenario), SIGTERM must STILL
+    terminate the daemon: the drain's bounded join fails and it falls back
+    to aborting every client without touching the engine (r5 review
+    finding: the drain used to block forever on the lock)."""
+    e = _enhancer()
+    engine = StreamingEngine(e, slots=8, chunk_samples=4000)
+    wedge = threading.Event()
+    server = StreamServer(engine, port=0, tick_interval=0.01,
+                          log=lambda *_: None, stall_timeout=0)
+    server.start()
+    conn = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        _send_frame(conn, json.dumps({"sr": 1000}).encode())
+        import time as _time
+        deadline = _time.monotonic() + 30
+        while engine.active == 0 and _time.monotonic() < deadline:
+            _time.sleep(0.02)  # wait until the stream is registered
+        assert engine.active == 1
+        engine.tick = lambda: (wedge.wait(60), 0)[1]  # wedge inside lock
+        _time.sleep(0.2)  # let the ticker enter the wedged tick
+        t0 = _time.monotonic()
+        server._graceful_drain(join_timeout=0.5)
+        assert _time.monotonic() - t0 < 10  # returned despite the wedge
+        conn.settimeout(10)
+        assert _recv_frame(conn) is None  # aborted: EOF, no completion
+    finally:
+        wedge.set()
+        conn.close()
+        server.stop()
+
+
+def test_reload_refused_without_checkpoint_anchor():
+    """Non-loopback bind + no checkpoint_path: the restricted reload guard
+    must refuse outright, not derive its base directory from "" (which is
+    the CWD — for a daemon at / that would allow ANY path; r5 review
+    finding)."""
+    from fullsubnet_plus_tpu.cli.serve import request_reload
+
+    e = _enhancer()
+    server = StreamServer(
+        StreamingEngine(e, slots=8, chunk_samples=4000),
+        host="0.0.0.0", port=0, tick_interval=0.02, log=lambda *_: None,
+        reload_fn=lambda p: StreamingEngine(e, slots=8, chunk_samples=4000),
+        checkpoint_path=None,
+    )
+    server.start()
+    try:
+        resp = request_reload("127.0.0.1", server.port, "/etc/passwd",
+                              timeout=30)
+        assert "error" in resp and server.reloads == 0
+    finally:
+        server.stop()
+
+
+def test_supervisor_forwards_sigterm(tmp_path):
+    """SIGTERM sent to the SUPERVISOR process forwards to its exact child:
+    the child gets to exit cleanly (0) and the supervisor exits 0 too —
+    no still-serving orphan (r5 review finding)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    stub = tmp_path / "stub_child.py"
+    stub.write_text(
+        "import signal, sys, time, os\n"
+        "mark = sys.argv[1]\n"
+        "signal.signal(signal.SIGTERM,\n"
+        "              lambda *_: (open(mark, 'w').write('drained'),\n"
+        "                          sys.exit(0)))\n"
+        "open(mark + '.up', 'w').write(str(os.getpid()))\n"
+        "while True:\n"
+        "    time.sleep(0.1)\n"
+    )
+    runner = tmp_path / "run_supervisor.py"
+    runner.write_text(
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from fullsubnet_plus_tpu.cli.serve import supervise_serve\n"
+        "rc = supervise_serve([sys.argv[2]], max_restarts=1,\n"
+        "                     launcher=[sys.executable, sys.argv[1]])\n"
+        "sys.exit(rc)\n" % os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+    )
+    mark = tmp_path / "mark"
+    sup = subprocess.Popen(
+        [sys.executable, str(runner), str(stub), str(mark)])
+    try:
+        deadline = time.monotonic() + 30
+        while not (tmp_path / "mark.up").exists() and \
+                time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert (tmp_path / "mark.up").exists(), "child never started"
+        sup.send_signal(signal.SIGTERM)  # kill the SUPERVISOR's pid
+        assert sup.wait(timeout=30) == 0  # child drained -> clean exit
+        assert mark.read_text() == "drained"  # child got the forward
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait()
+
+
 def test_watch_retries_failed_reload(tmp_path):
     """A transiently failed --watch reload must retry on the next poll
     WITHOUT another file change (r4 advisor finding: `last` advanced before
