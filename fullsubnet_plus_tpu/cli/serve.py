@@ -770,7 +770,11 @@ def main(argv=None) -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--slots", type=int, default=8,
-                        help="streams per device dispatch (fixed shape)")
+                        help="streams per device dispatch (fixed shape); "
+                             "8 favors light-load latency — raise toward "
+                             "64 (the measured per-dispatch knee, "
+                             "docs/PERFORMANCE.md) for heavily loaded "
+                             "daemons")
     parser.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
                         default=None,
                         help="default: the config's compute_dtype, else "
