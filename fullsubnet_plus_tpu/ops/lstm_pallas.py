@@ -9,22 +9,23 @@ replaces the per-layer lax.scan with ONE sequential sweep:
     axis innermost, so for each row tile the T steps run sequentially while
     VMEM scratch carries (h1, c1, h2, c2) across steps — both layers advance
     in the same step, so the sequence is traversed ONCE instead of twice.
-  * Each layer's input and recurrent matmuls are COMBINED into one MXU
-    issue: gates₁ = [xₜ | h₁] @ [W₁; U₁], gates₂ = [h₁ | h₂] @ [W₂; U₂].
-    Measured ≈9 % faster than four separate dots at the model's shapes (the
-    kernel is dependency-stall-bound, not FLOP-bound — see
-    docs/PERFORMANCE.md).
+  * Layer 2's input and recurrent matmuls are COMBINED into one MXU
+    issue (gates₂ = [h₁ | h₂] @ [W₂; U₂] — measured ≈9 % faster than
+    separate dots; the kernel is dependency-stall-bound, not FLOP-bound).
+    Layer 1 splits into W₁x (a sublane-contracting dot on the
+    feature-major input block) + U₁ so the x block needs no lane padding.
   * ALL weights live in VMEM for the whole sweep (their BlockSpec index is
-    constant, so Pallas never re-DMAs them): [W₁;U₁] [Dp+H,4H] + [W₂;U₂]
-    [2H,4H] ≈ 8 MB fp32 / 4 MB bf16.
+    constant, so Pallas never re-DMAs them): W₁x + U₁ + [W₂;U₂]
+    ≈ 8 MB fp32 / 4 MB bf16.
   * Optional fused output projection (`fc`): out = h₂ @ W_fc + b_fc written
-    straight as a [T, N, O] array. For the shipped O=2 this shrinks the HBM
-    intermediate from [T, N, 384] (4 GB bf16 at batch 32 × 10 s) to 21 MB
+    transposed as a [T, O, N] array (O=2 on sublanes — lane-minor O would
+    physically pad 2→128). For the shipped O=2 this shrinks the HBM
+    intermediate from [T, N, 384] (4 GB bf16 at batch 32 × 10 s) to ~80 MB
     and eliminates the separate whole-sequence Linear pass.
   * Unlike the scan path in nn/lstm.py, the layer-1 input projection is NOT
     hoisted/materialized: a [N, T, 4H] fp32 intermediate would be ~8 GB of
-    HBM for a 10 s batch-8 call. Instead the raw [1, TILE_N, Dp] input
-    slice (Dp = 34 padded to 128 lanes) streams in per step and the
+    HBM for a 10 s batch-8 call. Instead the [1, Dp, TILE_N] input slice
+    (Dp = 34 padded to the 48-sublane tile) streams in per step and the
     projection runs on the MXU inside the step.
   * Per-step HBM traffic is the x block in and the (tiny, when fc is fused)
     output block out, which Pallas double-buffers against compute. Matmuls
@@ -70,21 +71,6 @@ LANE = 128
 SUBLANE = 8
 
 
-def _combined_weights(params, dtype, d_pad):
-    """[W;U] per layer with the layer-1 input rows lane-padded, biases summed."""
-    l1, l2 = params["layers"]
-    w1 = jnp.concatenate(
-        [jnp.pad(l1["w_ih"].astype(dtype), ((0, d_pad), (0, 0))),
-         l1["w_hh"].astype(dtype)], axis=0
-    )  # [Dp + H, 4H]
-    b1 = (l1["b_ih"] + l1["b_hh"]).reshape(1, -1).astype(dtype)
-    w2 = jnp.concatenate(
-        [l2["w_ih"].astype(dtype), l2["w_hh"].astype(dtype)], axis=0
-    )  # [2H, 4H]
-    b2 = (l2["b_ih"] + l2["b_hh"]).reshape(1, -1).astype(dtype)
-    return w1, b1, w2, b2
-
-
 def _split_weights(params, dtype, d_pad):
     """Per-layer weights for the feature-sublane-major forward kernels:
     layer-1 input rows sublane-padded ([Dp, 4H]), U1 separate (the input
@@ -109,7 +95,7 @@ def _tdot(a, b):
     )
 
 
-def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool, d_pad: int):
+def _make_kernel(steps_per_block: int, sub_tiles: int, fused_fc: bool):
     """Forward kernel. The folded input arrives FEATURE-SUBLANE-MAJOR
     ([T, Dp, N] blocks, Dp = D rounded up to the sublane tile): with D on
     the minor (lane) axis XLA's tiled layout physically pads 34 lanes to
@@ -239,6 +225,11 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
     # Shrink the row tile for small folds (e.g. the full-band LSTM of the
     # FullSubNet baseline runs at N = batch) so padding stays bounded.
     tile_n = min(tile_n, max(LANE, -(-n // LANE) * LANE))
+    if sub_tiles < 1 or tile_n % sub_tiles:
+        # An indivisible sub-tile split would silently skip the remainder
+        # rows of every tile (uninitialized output); fall back like the
+        # backward's BWD_SUB_TILES guard does.
+        sub_tiles = 1
 
     d_pad = _sublane_pad(d, dtype)
     n_pad = -n % tile_n
@@ -284,7 +275,7 @@ def stacked_lstm2(params, x, fc=None, *, tile_n: int = 256, steps_per_block: int
         out_shape = jax.ShapeDtypeStruct((t_total, n_total, out_dim), dtype)
 
     out = pl.pallas_call(
-        _make_kernel(steps_per_block, sub_tiles, fc is not None, d_pad),
+        _make_kernel(steps_per_block, sub_tiles, fc is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -421,10 +412,10 @@ def _cell_bwd(dh, gates, c, c_prev, dc_carry, at_t0):
     return dgates, dc * f
 
 
-def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
+def _make_bwd_kernel(t_steps: int):
     def _kernel(
         dy_ref, g1_ref, c1_ref, c1p_ref, g2_ref, c2_ref, c2p_ref,
-        fcwt_ref, w2t_ref, w1t_ref,
+        fcwt_ref, w2t_ref, u1t_ref, w1x_ref,
         dg1_ref, dg2_ref, dx_ref,
         dh1, dc1, dh2, dc2,
     ):
@@ -438,7 +429,7 @@ def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
             dc2[:] = jnp.zeros_like(dc2)
 
         hidden = dh1.shape[-1]
-        mm = w1t_ref.dtype
+        mm = w1x_ref.dtype
         # Grid step s processes timestep t = T-1-s.
         at_t0 = (t_steps - 1 - s) == 0
 
@@ -456,20 +447,24 @@ def _make_bwd_kernel(t_steps: int, d: int, d_total: int):
             dgates2.astype(mm), w2t_ref[:], preferred_element_type=jnp.float32
         )  # [tile, 2H]
 
-        # Layer 1 backward.
+        # Layer 1 backward. Split weights like the fused path: U₁ᵀ for the
+        # dh carry, W₁x-side dot_general for the feature-major dx write
+        # (dx as [T, N, 34] would lane-pad 34→128 — the CLAUDE.md rule).
         dh1_t = dinp2[:, :hidden] + dh1[:]
         dh2[:] = dinp2[:, hidden:]
         dgates1, dc1_new = _cell_bwd(
             dh1_t, g1_ref[0], c1_ref[0], c1p_ref[0], dc1[:], at_t0
         )
         dc1[:] = dc1_new
+        dg1_mm = dgates1.astype(mm)
         dg1_ref[0] = dgates1.astype(dg1_ref.dtype)
-        dinp1 = jnp.dot(
-            dgates1.astype(mm), w1t_ref[:], preferred_element_type=jnp.float32
-        )  # [tile, Dp + H]
-        # Columns d..Dp are grads of the zero sublane-padding — dropped.
-        dx_ref[0] = dinp1[:, :d].astype(dx_ref.dtype)
-        dh1[:] = dinp1[:, d_total:]
+        dh1[:] = jnp.dot(dg1_mm, u1t_ref[:],
+                         preferred_element_type=jnp.float32)
+        dx_ref[0] = jax.lax.dot_general(
+            w1x_ref[:], dg1_mm,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dx_ref.dtype)  # [Dp, tile]
 
     return _kernel
 
@@ -737,7 +732,9 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         btile = tile if tile <= 128 else tile // 2
         if BWD_ROW_TILE and n_total % BWD_ROW_TILE == 0:
             btile = BWD_ROW_TILE
-        sub_tiles = BWD_SUB_TILES if btile % max(BWD_SUB_TILES, 1) == 0 else 1
+        sub_tiles = (BWD_SUB_TILES
+                     if BWD_SUB_TILES >= 1 and btile % BWD_SUB_TILES == 0
+                     else 1)
         rev_b = lambda width: pl.BlockSpec(
             (1, btile, width), lambda i, s: (t - 1 - s, i, 0),
             memory_space=pltpu.VMEM,
@@ -801,7 +798,7 @@ def _train_bwd(tile_n, interpret, residuals, dy):
         dparams = {
             "layers": [
                 {
-                    "w_ih": cast(dwih1[:d], l1["w_ih"]),  # drop lane-pad rows
+                    "w_ih": cast(dwih1[:d], l1["w_ih"]),  # drop sublane-pad rows
                     "w_hh": cast(dwhh1, l1["w_hh"]),
                     "b_ih": cast(db1, l1["b_ih"]),
                     "b_hh": cast(db1, l1["b_hh"]),
@@ -815,11 +812,6 @@ def _train_bwd(tile_n, interpret, residuals, dy):
             ]
         }
     else:
-        # Einsum fallback: the combined [W₁;U₁]ᵀ matmul needs the lane-
-        # padded transposed weight; only this path builds it.
-        w1, _, _, _ = _combined_weights(params, dtype, -d % LANE)
-        w1t = jnp.swapaxes(w1, 0, 1)  # [4H, D_lane + H]
-        d_lane = w1t.shape[1] - hidden
         rev = lambda width: pl.BlockSpec(
             (1, tile, width), lambda i, s: (t - 1 - s, i, 0),
             memory_space=pltpu.VMEM,
@@ -833,8 +825,8 @@ def _train_bwd(tile_n, interpret, residuals, dy):
             (1, width, tile), lambda i, s: (t - 1 - s, 0, i),
             memory_space=pltpu.VMEM,
         )
-        dg1, dg2, dx_tm = pl.pallas_call(
-            _make_bwd_kernel(t, d, d_lane),
+        dg1, dg2, dx_fm = pl.pallas_call(
+            _make_bwd_kernel(t),
             grid=(n_total // tile, t),
             in_specs=[
                 rev_fm_t(out_dim),
@@ -842,22 +834,24 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 rev(4 * hidden), rev(hidden), prev(hidden),
                 resident((out_dim, hidden)),
                 resident((4 * hidden, 2 * hidden)),
-                resident((4 * hidden, d_lane + hidden)),
+                resident((4 * hidden, hidden)),
+                resident((d_total, 4 * hidden)),
             ],
-            out_specs=(rev(4 * hidden), rev(4 * hidden), rev(d)),
-            out_shape=(seq_out(4 * hidden), seq_out(4 * hidden), seq_out(d)),
+            out_specs=(rev(4 * hidden), rev(4 * hidden), rev_fm_t(d_total)),
+            out_shape=(seq_out(4 * hidden), seq_out(4 * hidden),
+                       jax.ShapeDtypeStruct((t, d_total, n_total), dtype)),
             scratch_shapes=[
                 pltpu.VMEM((tile, hidden), jnp.float32) for _ in range(4)
             ],
             cost_estimate=pl.CostEstimate(
-                flops=2 * n_total * t * (3 * hidden + d_lane + out_dim)
+                flops=2 * n_total * t * (3 * hidden + d_total + out_dim)
                 * 4 * hidden,
-                bytes_accessed=n_total * t * (20 * hidden + d_lane + out_dim)
+                bytes_accessed=n_total * t * (20 * hidden + d_total + out_dim)
                 * x.dtype.itemsize,
                 transcendentals=n_total * t * 2 * hidden,
             ),
             interpret=interpret,
-        )(dy_fm, g1, c1, c1, g2, c2, c2, fcwt, w2t, w1t)
+        )(dy_fm, g1, c1, c1, g2, c2, c2, fcwt, w2t, u1t, w1x)
 
         # Weight gradients: whole-sequence contractions, no recurrence —
         # plain XLA einsums on the MXU. h_prev sequences are the saved h
@@ -883,11 +877,9 @@ def _train_bwd(tile_n, interpret, residuals, dy):
                 },
             ]
         }
-        dx = cast(jnp.transpose(dx_tm, (1, 2, 0))[:n], x)  # [N, D, T]
-
-    if FUSED_WGRAD:
-        # [T, Dp, N] -> [N, D, T], dropping the sublane-pad feature rows.
-        dx = cast(jnp.transpose(dx_fm, (2, 1, 0))[:n, :d], x)
+    # [T, Dp, N] -> [N, D, T], dropping the sublane-pad feature rows
+    # (both backward paths write dx feature-major).
+    dx = cast(jnp.transpose(dx_fm, (2, 1, 0))[:n, :d], x)
     dfc = {
         "weight": cast(ein("tnh,ton->ho", h2, dy_fm), fc["weight"]),
         "bias": cast(ein("ton->o", dy_fm), fc["bias"]),
@@ -924,6 +916,20 @@ def _fold_sharded(kernel, params, x, fc, axes, tile_n: int, interpret: bool):
     for a in axes:
         n_shards *= mesh.shape[a]
     if n_shards == 1 or x.shape[0] % n_shards != 0:
+        if n_shards > 1:
+            # An indivisible fold cannot shard_map: the kernel runs
+            # UNSHARDED, i.e. every chip gathers the whole (B·F) fold and
+            # sweeps all rows — the exact perf/memory cliff this wrapper
+            # exists to prevent. Surface it instead of silently degrading
+            # (pad the batch so B·F divides the mesh to fix).
+            import warnings
+
+            warnings.warn(
+                f"fold of {x.shape[0]} rows does not divide the "
+                f"{n_shards}-way mesh {axes}; running the LSTM kernel "
+                "UNSHARDED (full fold gathered onto every chip)",
+                stacklevel=3,
+            )
         return kernel(params, x, fc, tile_n, interpret)
     from jax.sharding import PartitionSpec as P
 

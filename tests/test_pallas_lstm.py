@@ -260,6 +260,21 @@ def test_pallas_sub_tiles(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+def test_pallas_sub_tiles_indivisible_falls_back(rng):
+    """A sub_tiles that does not divide the row tile must fall back to 1
+    instead of silently skipping the remainder rows (r5 review finding:
+    the forward had no guard, leaving uninitialized output rows)."""
+    params = lstm_init(jax.random.PRNGKey(3), 34, 64, 2)
+    x = (rng.standard_normal((64, 9, 34)) * 0.5).astype(np.float32)
+    ref, _ = lstm_apply(params, jnp.asarray(x))
+    out = stacked_lstm2(
+        params, jnp.swapaxes(jnp.asarray(x), 1, 2), tile_n=64, sub_tiles=3,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+
 def test_pallas_steps_per_block(rng):
     params = lstm_init(jax.random.PRNGKey(1), 16, 32, 2)
     x = (rng.standard_normal((40, 11, 16)) * 0.5).astype(np.float32)  # 11 % 4 != 0
